@@ -1,0 +1,414 @@
+"""Sparse matrix formats and device-side assembly (TPU-native MATAIJ subset).
+
+Covers the exercised-PETSc matrix capabilities (SURVEY.md §2b P4/P5):
+COO triplet accumulation with duplicate summation (MatSetValues ADD_VALUES,
+ref src/Discretization.c:165), assembly finalization (MatAssemblyBegin/End,
+ref :168-169), CSR/BSR storage (MATAIJ, ref :19), and symmetric row+column
+elimination with unit diagonal (MatZeroRowsColumns, ref :268).
+
+Everything here is functional and jit-friendly.  COO->CSR runs fully on
+device with static shapes (sort + segment-sum dedup, padded to the static
+triplet count); `csr_compact` optionally shrinks to exact nnz on the host at
+setup time.
+
+All containers are registered pytrees so they pass transparently through
+jit/vmap/shard_map.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pytree_dataclass(cls, data_fields, meta_fields):
+    def flatten(obj):
+        return (
+            tuple(getattr(obj, f) for f in data_fields),
+            tuple(getattr(obj, f) for f in meta_fields),
+        )
+
+    def unflatten(meta, data):
+        kwargs = dict(zip(data_fields, data))
+        kwargs.update(dict(zip(meta_fields, meta)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Triplet format; duplicates allowed (summed on conversion).
+
+    Entries with row < 0 are treated as padding and dropped.
+    """
+
+    rows: Any  # (nnz,) int32
+    cols: Any  # (nnz,) int32
+    vals: Any  # (nnz,) float
+    shape: tuple  # (m, n) static
+
+    @property
+    def nnz(self):
+        return self.rows.shape[0]
+
+    def todense(self):
+        m, n = self.shape
+        valid = self.rows >= 0
+        r = jnp.where(valid, self.rows, 0)
+        c = jnp.where(valid, self.cols, 0)
+        v = jnp.where(valid, self.vals, 0.0)
+        return jnp.zeros((m, n), self.vals.dtype).at[r, c].add(v)
+
+
+_pytree_dataclass(COO, ("rows", "cols", "vals"), ("shape",))
+
+
+@dataclasses.dataclass(frozen=True)
+class CSR:
+    """Compressed sparse row.  Padding entries have col == -1 (val ignored).
+
+    `indptr` has length m+1; column indices within a row are sorted.
+    """
+
+    indptr: Any  # (m+1,) int32
+    cols: Any  # (nnz,) int32  (-1 padding)
+    vals: Any  # (nnz,) float
+    shape: tuple
+
+    @property
+    def nnz(self):
+        return self.cols.shape[0]
+
+    def todense(self):
+        m, n = self.shape
+        rows = row_ids_from_indptr(self.indptr, self.nnz)
+        valid = self.cols >= 0
+        r = jnp.where(valid, rows, 0)
+        c = jnp.where(valid, self.cols, 0)
+        v = jnp.where(valid, self.vals, 0.0)
+        return jnp.zeros((m, n), self.vals.dtype).at[r, c].add(v)
+
+    def matvec(self, x):
+        return csr_matvec(self, x)
+
+
+_pytree_dataclass(CSR, ("indptr", "cols", "vals"), ("shape",))
+
+
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Block CSR with dense b x b blocks (b = block size, e.g. 2 for 2 dof).
+
+    Block-row i covers scalar rows [i*b, (i+1)*b).  Padding block-cols == -1.
+    """
+
+    indptr: Any  # (mb+1,) int32
+    cols: Any  # (nnzb,) int32 block-column indices (-1 padding)
+    vals: Any  # (nnzb, b, b) float
+    shape: tuple  # scalar shape (m, n)
+    block: int = 2
+
+    @property
+    def nnzb(self):
+        return self.cols.shape[0]
+
+    def todense(self):
+        m, n = self.shape
+        b = self.block
+        rows = row_ids_from_indptr(self.indptr, self.nnzb)
+        valid = self.cols >= 0
+        r = jnp.where(valid, rows, 0)
+        c = jnp.where(valid, self.cols, 0)
+        v = jnp.where(valid[:, None, None], self.vals, 0.0)
+        dense = jnp.zeros((m // b, n // b, b, b), self.vals.dtype)
+        dense = dense.at[r, c].add(v)
+        return dense.transpose(0, 2, 1, 3).reshape(m, n)
+
+    def matvec(self, x):
+        return bsr_matvec(self, x)
+
+
+_pytree_dataclass(BSR, ("indptr", "cols", "vals"), ("shape", "block"))
+
+
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Sliced-ELLPACK: fixed entries-per-row, padded with col == -1.
+
+    cols/vals have shape (m, k).  TPU-friendly: SpMV is a dense gather +
+    row-reduction with no indirection in the reduction.
+    """
+
+    cols: Any  # (m, k) int32
+    vals: Any  # (m, k) float
+    shape: tuple
+
+    def todense(self):
+        m, n = self.shape
+        r = jnp.broadcast_to(jnp.arange(m)[:, None], self.cols.shape)
+        valid = self.cols >= 0
+        rr = jnp.where(valid, r, 0)
+        cc = jnp.where(valid, self.cols, 0)
+        vv = jnp.where(valid, self.vals, 0.0)
+        return jnp.zeros((m, n), self.vals.dtype).at[rr, cc].add(vv)
+
+    def matvec(self, x):
+        return ell_matvec(self, x)
+
+
+_pytree_dataclass(ELL, ("cols", "vals"), ("shape",))
+
+
+def row_ids_from_indptr(indptr, nnz):
+    """Expand CSR indptr to per-entry row ids, statically sized."""
+    m = indptr.shape[0] - 1
+    # row of entry e = number of row starts <= e, minus 1
+    return (
+        jnp.searchsorted(
+            indptr, jnp.arange(nnz, dtype=indptr.dtype), side="right"
+        ).astype(jnp.int32)
+        - 1
+    ).clip(0, m - 1)
+
+
+# ---------------------------------------------------------------------------
+# Assembly: COO -> CSR (device-side, static shapes)
+# ---------------------------------------------------------------------------
+
+
+def coo_sum_duplicates(coo: COO) -> COO:
+    """Sort triplets by (row, col) and sum duplicates on device.
+
+    The result keeps the same static nnz; collapsed slots become padding
+    (row = col = -1) gathered at the end.  This is the TPU-native equivalent
+    of PETSc's MatAssembly stash-and-merge (ref Discretization.c:168-169).
+    """
+    m, n = coo.shape
+    rows = coo.rows.astype(jnp.int32)
+    cols = coo.cols.astype(jnp.int32)
+    pad = rows < 0
+    # Sort key: (is_pad, row, col) — padding sorts last.
+    key_rows = jnp.where(pad, m, rows)
+    order = jnp.lexsort((cols, key_rows))
+    r, c, v = rows[order], cols[order], coo.vals[order]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (r[1:] != r[:-1]) | (c[1:] != c[:-1]),
+        ]
+    )
+    uid = jnp.cumsum(first) - 1  # group index per entry
+    nnz = coo.nnz
+    summed = jax.ops.segment_sum(v, uid, num_segments=nnz)
+    ur = jax.ops.segment_max(r, uid, num_segments=nnz)
+    uc = jax.ops.segment_max(c, uid, num_segments=nnz)
+    ngroups = uid[-1] + 1
+    slot = jnp.arange(nnz, dtype=jnp.int32)
+    live = slot < ngroups
+    pad_out = ~live | (ur >= m) | (ur < 0)
+    ur = jnp.where(pad_out, -1, ur)
+    uc = jnp.where(pad_out, -1, uc)
+    summed = jnp.where(pad_out, 0.0, summed)
+    return COO(ur, uc, summed, coo.shape)
+
+
+def coo_to_csr(coo: COO) -> CSR:
+    """Device-side COO->CSR with duplicate summation (static shapes).
+
+    Padded entries (col == -1) remain at the tail of the value arrays; the
+    indptr covers only live entries.
+    """
+    m, _ = coo.shape
+    dedup = coo_sum_duplicates(coo)
+    r = dedup.rows
+    counts = jax.ops.segment_sum(
+        jnp.where(r >= 0, 1, 0), jnp.where(r >= 0, r, 0), num_segments=m
+    )
+    indptr = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    return CSR(indptr, dedup.cols, dedup.vals, coo.shape)
+
+
+def csr_compact(csr: CSR) -> CSR:
+    """Host-side shrink of a padded CSR to exact nnz (setup-time only)."""
+    indptr = np.asarray(csr.indptr)
+    cols = np.asarray(csr.cols)
+    vals = np.asarray(csr.vals)
+    nnz = int(indptr[-1])
+    return CSR(
+        jnp.asarray(indptr),
+        jnp.asarray(cols[:nnz]),
+        jnp.asarray(vals[:nnz]),
+        csr.shape,
+    )
+
+
+def csr_to_ell(csr: CSR, k: int | None = None) -> ELL:
+    """Convert CSR to fixed-width ELL (host- or device-side).
+
+    k defaults to the max row length (host-computed if not given).
+    """
+    m, n = csr.shape
+    if k is None:
+        indptr = np.asarray(csr.indptr)
+        k = int(np.max(np.diff(indptr))) if m else 0
+    rows = row_ids_from_indptr(csr.indptr, csr.nnz)
+    # position of each entry within its row
+    pos = jnp.arange(csr.nnz, dtype=jnp.int32) - csr.indptr[rows]
+    valid = (csr.cols >= 0) & (pos < k)
+    r = jnp.where(valid, rows, 0)
+    p = jnp.where(valid, pos, 0)
+    cols = jnp.full((m, k), -1, jnp.int32)
+    vals = jnp.zeros((m, k), csr.vals.dtype)
+    cols = cols.at[r, p].set(jnp.where(valid, csr.cols, -1), mode="drop")
+    vals = vals.at[r, p].set(jnp.where(valid, csr.vals, 0.0), mode="drop")
+    return ELL(cols, vals, csr.shape)
+
+
+def csr_to_bsr(csr: CSR, block: int = 2) -> BSR:
+    """Host-side CSR -> BSR conversion (setup time)."""
+    import scipy.sparse as sp
+
+    m, n = csr.shape
+    a = csr_to_scipy(csr).tobsr(blocksize=(block, block))
+    a.sort_indices()
+    return BSR(
+        jnp.asarray(a.indptr.astype(np.int32)),
+        jnp.asarray(a.indices.astype(np.int32)),
+        jnp.asarray(a.data),
+        (m, n),
+        block,
+    )
+
+
+def csr_to_scipy(csr: CSR):
+    """Host-side CSR -> scipy.sparse.csr_matrix (drops padding)."""
+    import scipy.sparse as sp
+
+    indptr = np.asarray(csr.indptr)
+    cols = np.asarray(csr.cols)
+    vals = np.asarray(csr.vals)
+    nnz = int(indptr[-1])
+    return sp.csr_matrix(
+        (vals[:nnz], cols[:nnz], indptr), shape=csr.shape
+    )
+
+
+def scipy_to_csr(a) -> CSR:
+    a = a.tocsr()
+    a.sort_indices()
+    return CSR(
+        jnp.asarray(a.indptr.astype(np.int32)),
+        jnp.asarray(a.indices.astype(np.int32)),
+        jnp.asarray(a.data),
+        a.shape,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SpMV (XLA paths; Pallas kernels live in ops/pallas/)
+# ---------------------------------------------------------------------------
+
+
+def coo_matvec(coo: COO, x):
+    valid = coo.rows >= 0
+    r = jnp.where(valid, coo.rows, 0)
+    c = jnp.where(valid, coo.cols, 0)
+    v = jnp.where(valid, coo.vals, 0.0)
+    return jax.ops.segment_sum(v * x[c], r, num_segments=coo.shape[0])
+
+
+def csr_matvec(csr: CSR, x):
+    """y = A @ x via gather + segment-sum (XLA path)."""
+    rows = row_ids_from_indptr(csr.indptr, csr.nnz)
+    valid = csr.cols >= 0
+    c = jnp.where(valid, csr.cols, 0)
+    v = jnp.where(valid, csr.vals, 0.0)
+    return jax.ops.segment_sum(
+        v * x[c], rows, num_segments=csr.shape[0], indices_are_sorted=True
+    )
+
+
+def ell_matvec(ell: ELL, x):
+    """y = A @ x: dense gather (m,k) + row sum.  No indirect reduction."""
+    valid = ell.cols >= 0
+    c = jnp.where(valid, ell.cols, 0)
+    v = jnp.where(valid, ell.vals, 0.0)
+    return jnp.sum(v * x[c], axis=1)
+
+
+def bsr_matvec(bsr: BSR, x):
+    """y = A @ x for block-CSR: gathers b-vectors, 2x2 block matvecs, segment sum."""
+    b = bsr.block
+    mb = bsr.shape[0] // b
+    rows = row_ids_from_indptr(bsr.indptr, bsr.nnzb)
+    valid = bsr.cols >= 0
+    c = jnp.where(valid, bsr.cols, 0)
+    v = jnp.where(valid[:, None, None], bsr.vals, 0.0)
+    xb = x.reshape(-1, b)
+    xi = xb[c]  # (nnzb, b)
+    yi = jnp.einsum("ecd,ed->ec", v, xi)
+    yb = jax.ops.segment_sum(
+        yi, rows, num_segments=mb, indices_are_sorted=True
+    )
+    return yb.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-condition elimination
+# ---------------------------------------------------------------------------
+
+
+def coo_zero_rows_columns(coo: COO, mask, diag=1.0) -> COO:
+    """Symmetric elimination: zero all entries whose row OR col is masked,
+    then add unit diagonal at masked rows.
+
+    `mask` is a boolean (m,) array (True = eliminate).  Equivalent to PETSc
+    MatZeroRowsColumns(A, ..., 1.0, NULL, NULL) (ref Discretization.c:268);
+    keeps symmetry/SPD so CG/MINRES remain applicable.  The diagonal entries
+    are appended as extra triplets (caller controls static sizing).
+    """
+    m, n = coo.shape
+    valid = coo.rows >= 0
+    hit = valid & (
+        mask[jnp.where(valid, coo.rows, 0)]
+        | mask[jnp.where(valid, coo.cols, 0)]
+    )
+    vals = jnp.where(hit, 0.0, coo.vals)
+    # Keep (row,col) of zeroed entries so sparsity pattern is unchanged.
+    diag_rows = jnp.where(mask, jnp.arange(m, dtype=jnp.int32), -1)
+    diag_vals = jnp.where(mask, jnp.asarray(diag, coo.vals.dtype), 0.0)
+    return COO(
+        jnp.concatenate([coo.rows, diag_rows]),
+        jnp.concatenate([coo.cols, diag_rows]),
+        jnp.concatenate([vals, diag_vals]),
+        coo.shape,
+    )
+
+
+def csr_extract_diagonal(csr: CSR):
+    """diag(A) as a dense (m,) vector."""
+    rows = row_ids_from_indptr(csr.indptr, csr.nnz)
+    isdiag = (csr.cols == rows) & (csr.cols >= 0)
+    return jax.ops.segment_sum(
+        jnp.where(isdiag, csr.vals, 0.0), rows, num_segments=csr.shape[0]
+    )
+
+
+def bsr_extract_diag_blocks(bsr: BSR):
+    """Dense diagonal blocks (mb, b, b)."""
+    rows = row_ids_from_indptr(bsr.indptr, bsr.nnzb)
+    isdiag = (bsr.cols == rows) & (bsr.cols >= 0)
+    mb = bsr.shape[0] // bsr.block
+    return jax.ops.segment_sum(
+        jnp.where(isdiag[:, None, None], bsr.vals, 0.0),
+        rows,
+        num_segments=mb,
+    )

@@ -1,0 +1,219 @@
+"""Structured-grid stencil operator — the TPU-native DMDA fast path.
+
+PETSc stores the assembled DMDA operator as a distributed CSR (MATAIJ,
+ref /root/reference/src/Discretization.c:19) and pays gather/indices
+bandwidth on every MatMult.  On TPU the same operator is far faster stored
+in *stencil form*: for a 2D grid with a box stencil of width 1 and 2 dof per
+node, every node row is a 3x3 neighborhood of 2x2 blocks,
+
+    W[j, i, dj, di, :, :]   (ny, nx, 3, 3, 2, 2)
+
+and SpMV is nine shifted block-einsums over a zero-padded field — fully
+regular, no index arrays, no gathers, perfectly fusable by XLA and
+vectorizable on the VPU.  Per node row this reads 36 values (vs ~36 values
++ 36 int32 indices for CSR): the stencil form is the bandwidth
+speed-of-light for this operator class.
+
+Assembly from batched element matrices uses only *static-slice* adds
+(no scatter), replacing MatSetValuesStencil(ADD_VALUES)
+(ref Discretization.c:165).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Element-local node offsets (dj, di), CCW from lower-left, matching
+# DMDAGetElementEqnums (ref Discretization.c:377-395).
+_NODE_OFF = ((0, 0), (1, 0), (1, 1), (0, 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilOperator:
+    """3x3-block-stencil operator on an (ny, nx) node grid with 2 dof/node.
+
+    Acts on fields of shape (ny, nx, 2); `flat` helpers map to/from the
+    natural global ordering row = (j*nx + i)*2 + c.
+    """
+
+    W: Any  # (ny, nx, 3, 3, 2, 2)
+
+    @property
+    def grid_shape(self):
+        return self.W.shape[:2]
+
+    @property
+    def n(self):
+        ny, nx = self.grid_shape
+        return ny * nx * 2
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def nnz(self):
+        """Number of stored (stencil) entries — the bandwidth-relevant count."""
+        return self.W.size
+
+    def matvec_field(self, x):
+        return stencil_matvec(self.W, x)
+
+    def matvec(self, xflat):
+        ny, nx = self.grid_shape
+        y = stencil_matvec(self.W, xflat.reshape(ny, nx, 2))
+        return y.reshape(-1)
+
+    def __call__(self, x):
+        if x.ndim == 1:
+            return self.matvec(x)
+        return self.matvec_field(x)
+
+    def diag_blocks(self):
+        """Dense diagonal 2x2 blocks, shape (ny, nx, 2, 2)."""
+        return self.W[:, :, 1, 1]
+
+    def diagonal(self):
+        """diag(A) as a field (ny, nx, 2)."""
+        d = self.W[:, :, 1, 1]
+        return jnp.stack([d[..., 0, 0], d[..., 1, 1]], axis=-1)
+
+
+jax.tree_util.register_pytree_node(
+    StencilOperator,
+    lambda op: ((op.W,), None),
+    lambda _, data: StencilOperator(*data),
+)
+
+
+def assemble_stencil(Ke):
+    """Accumulate batched element matrices into node-stencil form.
+
+    Ke: (ney, nex, 8, 8) element matrices, (node,dof)-interleaved.
+    Returns W: (ney+1, nex+1, 3, 3, 2, 2).
+
+    Uses 16 static-slice adds (one per (row-node, col-node) pair) — the
+    TPU-native replacement for the MatSetValuesStencil loop
+    (ref Discretization.c:146-166).
+    """
+    ney, nex, _, _ = Ke.shape
+    ny, nx = ney + 1, nex + 1
+    Kb = Ke.reshape(ney, nex, 4, 2, 4, 2)
+    W = jnp.zeros((ny, nx, 3, 3, 2, 2), Ke.dtype)
+    for a, (aj, ai) in enumerate(_NODE_OFF):
+        for b, (bj, bi) in enumerate(_NODE_OFF):
+            sj, si = bj - aj + 1, bi - ai + 1
+            W = W.at[aj : aj + ney, ai : ai + nex, sj, si].add(
+                Kb[:, :, a, :, b, :]
+            )
+    return W
+
+
+def stencil_matvec(W, x):
+    """y[j,i,c] = sum_{dj,di,d} W[j,i,dj,di,c,d] * x[j+dj-1, i+di-1, d].
+
+    x: (ny, nx, 2) field; out-of-grid neighbors are zero.
+    """
+    ny, nx = x.shape[:2]
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    y = jnp.zeros_like(x)
+    for dj in range(3):
+        for di in range(3):
+            y = y + jnp.einsum(
+                "yxcd,yxd->yxc",
+                W[:, :, dj, di],
+                xp[dj : dj + ny, di : di + nx],
+            )
+    return y
+
+
+def stencil_matvec_padded(W, xp):
+    """Matvec taking an already halo-padded field xp of shape (ny+2, nx+2, 2).
+
+    Used by the distributed path: the halo ring comes from ppermute
+    neighbor exchange instead of zero padding.
+    """
+    ny, nx = W.shape[:2]
+    y = jnp.zeros(W.shape[:2] + (2,), xp.dtype)
+    for dj in range(3):
+        for di in range(3):
+            y = y + jnp.einsum(
+                "yxcd,yxd->yxc",
+                W[:, :, dj, di],
+                xp[dj : dj + ny, di : di + nx],
+            )
+    return y
+
+
+def boundary_mask(ny, nx):
+    """True at boundary nodes (i==0, i==nx-1, j==0, j==ny-1).
+
+    ref: boundary scan in ApplyBC_Laplace (Discretization.c:244-261).
+    """
+    j = jnp.arange(ny)[:, None]
+    i = jnp.arange(nx)[None, :]
+    return (i == 0) | (i == nx - 1) | (j == 0) | (j == ny - 1)
+
+
+def stencil_zero_rows_columns(W, mask, diag=1.0):
+    """Symmetric BC elimination in stencil form.
+
+    Zeros every block whose row node OR column node is masked, then sets the
+    masked diagonal blocks to diag*I.  Equivalent to MatZeroRowsColumns
+    (ref Discretization.c:268): keeps the operator symmetric (SPD preserved).
+    """
+    ny, nx = W.shape[:2]
+    # rows: zero all stencil entries of masked nodes
+    W = jnp.where(mask[:, :, None, None, None, None], 0.0, W)
+    # columns: entry (j,i,dj,di) couples to node (j+dj-1, i+di-1)
+    maskp = jnp.pad(mask, ((1, 1), (1, 1)))
+    for dj in range(3):
+        for di in range(3):
+            nbr = maskp[dj : dj + ny, di : di + nx]
+            W = W.at[:, :, dj, di].multiply(
+                jnp.where(nbr, 0.0, 1.0)[:, :, None, None]
+            )
+    # unit diagonal at masked nodes
+    eye = jnp.asarray(diag, W.dtype) * jnp.eye(2, dtype=W.dtype)
+    W = W.at[:, :, 1, 1].set(
+        jnp.where(mask[:, :, None, None], eye, W[:, :, 1, 1])
+    )
+    return W
+
+
+def stencil_to_coo(W):
+    """Stencil -> COO triplets (device-side; out-of-grid entries padded)."""
+    ny, nx = W.shape[:2]
+    j = jnp.arange(ny, dtype=jnp.int32)[:, None]
+    i = jnp.arange(nx, dtype=jnp.int32)[None, :]
+    rows_list, cols_list, vals_list = [], [], []
+    for dj in range(3):
+        for di in range(3):
+            nj, ni = j + dj - 1, i + di - 1
+            inb = (nj >= 0) & (nj < ny) & (ni >= 0) & (ni < nx)
+            rnode = j * nx + i
+            cnode = jnp.where(inb, nj * nx + ni, 0)
+            blk = W[:, :, dj, di]  # (ny, nx, 2, 2)
+            for c in range(2):
+                for d in range(2):
+                    rows_list.append(
+                        jnp.where(inb, rnode * 2 + c, -1).reshape(-1)
+                    )
+                    cols_list.append(
+                        jnp.where(inb, cnode * 2 + d, -1).reshape(-1)
+                    )
+                    vals_list.append(
+                        jnp.where(inb, blk[:, :, c, d], 0.0).reshape(-1)
+                    )
+    from saddle_point_petsc_tpu.ops.sparse import COO
+
+    n = ny * nx * 2
+    return COO(
+        jnp.concatenate(rows_list),
+        jnp.concatenate(cols_list),
+        jnp.concatenate(vals_list),
+        (n, n),
+    )
