@@ -1,0 +1,129 @@
+"""Benchmark harness: prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): SpMV throughput in nnz/s per chip on the
+stencil-form saddle-point operator, compared against the HBM-bandwidth
+speed-of-light for this format.  Also reports time-to-rtol on the KKT
+system as secondary keys in the same JSON object.
+
+Timing notes: on the tunneled TPU backend `block_until_ready` does NOT
+synchronize; we synchronize by fetching a scalar to host, and difference
+two repetition counts to cancel the constant dispatch/fetch overhead.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync_scalar(x):
+    """Force execution by pulling one scalar to host (works through the
+    axon tunnel where block_until_ready is a no-op)."""
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _sync_scalar(out)
+    return time.perf_counter() - t0
+
+
+def _bw_roofline_bytes_per_s():
+    """Approximate HBM bandwidth of the local accelerator (B/s)."""
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "").lower()
+    table = {
+        "tpu v5 lite": 819e9,  # v5e
+        "tpu v5e": 819e9,
+        "tpu v4": 1228e9,
+        "tpu v5p": 2765e9,
+        "tpu v6 lite": 1640e9,  # v6e
+        "tpu v6e": 1640e9,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 100e9  # CPU-ish fallback
+
+
+def bench_spmv(n_nodes=1024, reps=100, dtype=jnp.float32):
+    from saddle_point_petsc_tpu.models import poisson
+    from saddle_point_petsc_tpu.ops.stencil import stencil_matvec
+
+    nex = n_nodes - 1
+    prob = poisson.assemble_poisson(nex, nex, dtype=dtype)
+    W = prob.A.W
+    x = prob.f
+
+    @jax.jit
+    def k_spmv(W, x, reps):
+        def body(i, x):
+            y = stencil_matvec(W, x)
+            # keep iterations dependent & bounded
+            return y / (1.0 + jnp.float32(i))
+
+        out = jax.lax.fori_loop(0, reps, body, x)
+        return jnp.sum(out)
+
+    _timed(k_spmv, W, x, 1)  # compile+warm
+    t1 = min(_timed(k_spmv, W, x, reps) for _ in range(3))
+    t2 = min(_timed(k_spmv, W, x, 2 * reps) for _ in range(3))
+    dt = max(t2 - t1, 1e-9) / reps
+    ny, nx = prob.A.grid_shape
+    nnz = ny * nx * 36  # stored stencil entries
+    nnz_per_s = nnz / dt
+    bytes_per_nnz = jnp.dtype(dtype).itemsize * (1.0 + 4.0 / 18.0)
+    sol = _bw_roofline_bytes_per_s() / float(bytes_per_nnz)
+    return nnz_per_s, sol, dt, nnz
+
+
+def bench_time_to_rtol(n_nodes=256, dtype=jnp.float32):
+    from saddle_point_petsc_tpu.models import saddle
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+
+    prob = saddle.assemble_saddle(
+        n_nodes - 1, n_nodes - 1, dtype=dtype, body_force="trig"
+    )
+    rtol = 1e-8 if dtype == jnp.float64 else 1e-5
+
+    @jax.jit
+    def solve(K, rhs):
+        M = precond.schur_pc(K.A, K.B, fact_type="diag")
+        res = krylov.minres(K, rhs, M=M, rtol=rtol, maxiter=2000)
+        return res.iterations, res.rnorm, res.rnorm0
+
+    t0 = _timed(solve, prob.K, prob.rhs)  # compile+warm
+    dt = min(_timed(solve, prob.K, prob.rhs) for _ in range(2))
+    its, rnorm, rnorm0 = jax.device_get(solve(prob.K, prob.rhs))
+    return dt, int(its), float(rnorm / rnorm0)
+
+
+def main():
+    if os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    n = int(os.environ.get("BENCH_N", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "100"))
+    nnz_per_s, sol, dt, nnz = bench_spmv(n_nodes=n, reps=reps)
+    t_solve, its, rrel = bench_time_to_rtol()
+    out = {
+        "metric": "spmv_nnz_per_s",
+        "value": nnz_per_s,
+        "unit": "nnz/s",
+        "vs_baseline": nnz_per_s / sol,
+        "spmv_ms": dt * 1e3,
+        "grid": f"{n}x{n}x2dof",
+        "nnz": nnz,
+        "roofline_nnz_per_s": sol,
+        "kkt_solve_s": t_solve,
+        "kkt_iterations": its,
+        "kkt_rel_rnorm": rrel,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""CLI entrypoint mirroring the reference `saddle_point_run` binary.
+
+ref: /root/reference/src/main.c:7-19 — PetscInitialize(argv) ->
+SolveSaddlePointProblem(3,3) -> Finalize, with all solver/grid behavior
+injected through the options database (SURVEY.md §3.5), e.g.:
+
+    python -m saddle_point_petsc_tpu.cli -da_grid_x 65 -da_grid_y 65 \
+        -ksp_type minres -pc_type jacobi -ksp_rtol 1e-8 -ksp_monitor -log_view
+
+Flags follow the reference/PETSc names:
+  -da_grid_x/-da_grid_y <nodes>   grid node counts (default 4 = 3x3 elements,
+                                  ref main.c:14 + Discretization.c:17 nx+1)
+  -problem_type {poisson,saddle}  poisson = reference behavior (constraints
+                                  disabled); saddle = full KKT (the intent)
+  -ksp_type/-pc_type/-ksp_rtol/-ksp_atol/-ksp_max_it/-ksp_monitor
+  -ksp_converged_reason           (see solvers/ksp.py for the full set)
+  -A_mat_view -f_vec_view -solution_view     object viewers (ref
+                                  SaddlePointProblem.c:20,62-63)
+  -vtk <path>                     VTK output file (default test.vtk,
+                                  ref SaddlePointProblem.c:22)
+  -no_vtk                         skip VTK output
+  -log_view                       phase timing report (PETSc -log_view)
+  -options_left                   warn about unused options
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    import jax
+
+    argv = sys.argv[1:] if argv is None else argv
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    opts = Options(argv)
+    if opts.get_bool("use_cpu") or opts.get_str("device", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if opts.get_str("dtype", "f64") == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from saddle_point_petsc_tpu.models import poisson, saddle
+    from saddle_point_petsc_tpu.solvers.ksp import KSP
+    from saddle_point_petsc_tpu.utils import monitor, viewers, vtk
+
+    dtype = jnp.float64 if opts.get_str("dtype", "f64") == "f64" else jnp.float32
+    log = monitor.LogView()
+
+    # grid: reference default Nx=Ny=3 elements -> 4x4 nodes (main.c:14);
+    # -da_grid_x/-da_grid_y override node counts (DMSetFromOptions,
+    # Discretization.c:20)
+    mx = opts.get_int("da_grid_x", 4)
+    my = opts.get_int("da_grid_y", 4)
+    nex, ney = mx - 1, my - 1
+    problem_type = opts.get_str("problem_type", "poisson")
+
+    body_force = opts.get_str("body_force", "constant")
+    with log.phase("Assembly"):
+        if problem_type == "saddle":
+            prob = saddle.assemble_saddle(
+                nex, ney, dtype=dtype, body_force=body_force
+            )
+            A, b = prob.K, prob.rhs
+        else:
+            prob = poisson.assemble_poisson(
+                nex, ney, dtype=dtype, body_force=body_force
+            )
+            A, b = prob.A, prob.f
+        jax.block_until_ready(prob.f)
+
+    viewers.view_from_options(A if problem_type != "saddle" else prob.A,
+                              opts, "A_mat_view", "A")
+    viewers.view_from_options(prob.f, opts, "f_vec_view", "f")
+
+    # solver defaults mirror PETSc (gmres) but pick saddle-appropriate ones
+    ksp = KSP(opts)
+    if problem_type == "saddle":
+        ksp.ksp_type, ksp.pc_type = "minres", "fieldsplit"
+    ksp.set_operators(A).set_from_options()
+    with log.phase("PCSetUp"):
+        ksp.set_up()
+    with log.phase("KSPSolve"):
+        res = ksp.solve(b)
+        jax.block_until_ready(res.x)
+
+    its = int(res.iterations)
+    print(
+        f"{problem_type}: grid {mx}x{my} nodes, ksp={ksp.ksp_type} "
+        f"pc={ksp.pc_type}, its={its}, reason={res.reason_name()}, "
+        f"rnorm={float(res.rnorm):.6e}"
+    )
+
+    u = res.x[0] if problem_type == "saddle" else res.x
+    viewers.view_from_options(u, opts, "solution_view", "u")
+
+    if not opts.get_bool("no_vtk"):
+        path = opts.get_str("vtk", "test.vtk")
+        with log.phase("WriteVTK"):
+            vtk.write_vtk(path, prob.coords, u)
+
+    if opts.get_bool("log_view"):
+        log.report()
+    if opts.get_bool("options_left"):
+        for name in opts.unused():
+            print(f"WARNING! unused option: -{name}", file=sys.stderr)
+    return 0 if res.converged_reason > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

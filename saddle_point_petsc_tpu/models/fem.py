@@ -187,6 +187,19 @@ def default_body_force(x):
     return jnp.broadcast_to(jnp.asarray([1.0, 2.0], dtype=x.dtype), shape)
 
 
+def trig_body_force(x):
+    """Non-constant body force f = (sin(x)*cos(y), 2) — the intent commented
+    out in the reference's FormRHS (Discretization.c:399: 'sin(x[0])*cos(x[1])').
+    Used for benchmarks where the constant force makes the constrained
+    (saddle) problem trivial (f in range(B^T))."""
+    fx = jnp.sin(jnp.pi * x[..., 0]) * jnp.cos(jnp.pi * x[..., 1])
+    fy = jnp.full_like(fx, 2.0)
+    return jnp.stack([fx, fy], axis=-1)
+
+
+BODY_FORCES = {"constant": default_body_force, "trig": trig_body_force}
+
+
 def uniform_node_coords(nex, ney, dtype=jnp.float64, extent=(1.0, 1.0)):
     """Node coordinates of a uniform (nex x ney)-element grid on [0,Lx]x[0,Ly].
 

@@ -60,8 +60,8 @@ jax.tree_util.register_pytree_node(
 )
 
 
-@partial(jax.jit, static_argnames=("nex", "ney", "dtype"))
-def assemble_poisson(nex, ney, dtype=jnp.float64):
+@partial(jax.jit, static_argnames=("nex", "ney", "dtype", "body_force"))
+def assemble_poisson(nex, ney, dtype=jnp.float64, body_force="constant"):
     """Assemble the BC'd vector-Poisson system on an nex x ney element grid.
 
     Fully on-device: batched element stiffness (vmap over the whole grid),
@@ -73,7 +73,8 @@ def assemble_poisson(nex, ney, dtype=jnp.float64):
     coords = fem.uniform_node_coords(nex, ney, dtype=dtype)
     ke = fem.batched_element_matrices(coords, nex, ney)
     W = assemble_stencil(ke)
-    f = assemble_rhs(coords, dtype=dtype)
+    bf = fem.BODY_FORCES[body_force] if isinstance(body_force, str) else body_force
+    f = assemble_rhs(coords, body_force=bf, dtype=dtype)
     mask = boundary_mask(ney + 1, nex + 1)
     W = stencil_zero_rows_columns(W, mask, diag=1.0)
     f = jnp.where(mask[:, :, None], 0.0, f)

@@ -1,0 +1,344 @@
+"""Distributed problems and operators over a 2D device mesh (P2-P5).
+
+TPU-native DMDA: the global node grid is block-partitioned over a
+Mesh(gy, gx); every step — element assembly, ghost accumulation, BC
+elimination, SpMV, Krylov reductions — is SPMD:
+
+- assembly: each device builds the element matrices for the elements whose
+  lower-left node it owns (DMDAGetElementsCorners/Sizes semantics, ref
+  /root/reference/src/Discretization.c:144-147) fully on device, then folds
+  edge contributions onto neighbors with `halo_add` — the TPU equivalent of
+  MatAssemblyBegin/End's stash-and-ship (ref :168-169) and
+  DMLocalToGlobalBegin/End(ADD_VALUES) (ref :218-219).
+- SpMV: `halo_exchange` (4 ppermutes) + local stencil contraction, with the
+  interior computed *before* the halo is consumed so XLA overlaps the
+  ppermutes with the interior einsums (BASELINE.md config 4).
+- reductions: Krylov dots run on the global sharded arrays; XLA inserts
+  hierarchical psums (ICI within a host, DCN across hosts).
+
+Grids that don't divide the mesh are padded with inactive nodes (identity
+rows, zero RHS) — harmless to Krylov and to iterate counts.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from saddle_point_petsc_tpu.models import fem
+from saddle_point_petsc_tpu.ops.stencil import (
+    StencilOperator,
+    stencil_matvec_padded,
+)
+from saddle_point_petsc_tpu.parallel.halo import halo_add, halo_exchange
+from saddle_point_petsc_tpu.parallel.mesh import GX, GY, field_sharding
+
+_NODE_OFF = ((0, 0), (1, 0), (1, 1), (0, 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class DistGrid:
+    """Static description of the partitioned node grid.
+
+    nex/ney: global element counts; ny/nx: *padded* global node counts
+    (divisible by the mesh); my/mx: per-device patch node counts.
+    """
+
+    mesh: Mesh
+    nex: int
+    ney: int
+    ny: int
+    nx: int
+
+    @property
+    def py(self):
+        return self.mesh.shape[GY]
+
+    @property
+    def px(self):
+        return self.mesh.shape[GX]
+
+    @property
+    def my(self):
+        return self.ny // self.py
+
+    @property
+    def mx(self):
+        return self.nx // self.px
+
+    @staticmethod
+    def create(nex, ney, mesh):
+        py, px = mesh.shape[GY], mesh.shape[GX]
+        ny = -(-(ney + 1) // py) * py
+        nx = -(-(nex + 1) // px) * px
+        return DistGrid(mesh, nex, ney, ny, nx)
+
+
+def _local_matvec(W, x):
+    """Per-device stencil matvec with halo overlap (runs inside shard_map)."""
+    my, mx = x.shape[:2]
+    xp = halo_exchange(x)  # ppermutes issued first...
+    # ...interior depends only on local x, so XLA can run it concurrently
+    y = jnp.zeros_like(x)
+    if my > 2 and mx > 2:
+        y_int = stencil_matvec_padded(W[1:-1, 1:-1], x)
+        y = y.at[1:-1, 1:-1].set(y_int)
+        y = y.at[:1, :].set(stencil_matvec_padded(W[:1], xp[:3]))
+        y = y.at[-1:, :].set(stencil_matvec_padded(W[-1:], xp[-3:]))
+        y = y.at[:, :1].set(stencil_matvec_padded(W[:, :1], xp[:, :3]))
+        y = y.at[:, -1:].set(stencil_matvec_padded(W[:, -1:], xp[:, -3:]))
+    else:
+        y = stencil_matvec_padded(W, xp)
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class DistStencilOperator:
+    """Stencil operator whose W/x are (gy, gx)-sharded; matvec under
+    shard_map with ppermute halo exchange."""
+
+    W: Any  # (ny, nx, 3, 3, 2, 2) sharded
+    mesh: Mesh  # static
+
+    @property
+    def grid_shape(self):
+        return self.W.shape[:2]
+
+    @property
+    def n(self):
+        ny, nx = self.grid_shape
+        return ny * nx * 2
+
+    def matvec_field(self, x):
+        fn = jax.shard_map(
+            _local_matvec,
+            mesh=self.mesh,
+            in_specs=(P(GY, GX), P(GY, GX)),
+            out_specs=P(GY, GX),
+        )
+        return fn(self.W, x)
+
+    def __call__(self, x):
+        return self.matvec_field(x)
+
+    def diagonal(self):
+        d = self.W[:, :, 1, 1]
+        return jnp.stack([d[..., 0, 0], d[..., 1, 1]], axis=-1)
+
+    def diag_blocks(self):
+        return self.W[:, :, 1, 1]
+
+    def as_local(self) -> StencilOperator:
+        """Gathered single-device view (tests/host post-processing)."""
+        return StencilOperator(jax.device_get(self.W))
+
+
+jax.tree_util.register_pytree_node(
+    DistStencilOperator,
+    lambda o: ((o.W,), (o.mesh,)),
+    lambda m, d: DistStencilOperator(*d, *m),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistSaddleOperator:
+    """KKT operator with B stored as m field-rows (m, ny, nx, 2) sharded on
+    the node dims; B u / B^T lam are sharded contractions (psum inserted by
+    the partitioner)."""
+
+    A: DistStencilOperator
+    Brows: Any  # (m, ny, nx, 2)
+
+    def __call__(self, v):
+        u, lam = v
+        au = self.A(u)
+        btl = jnp.einsum("m,myxc->yxc", lam, self.Brows)
+        bu = jnp.einsum("myxc,yxc->m", self.Brows, u)
+        return (au + btl, bu)
+
+
+jax.tree_util.register_pytree_node(
+    DistSaddleOperator,
+    lambda o: ((o.A, o.Brows), None),
+    lambda _, d: DistSaddleOperator(*d),
+)
+
+
+# ---------------------------------------------------------------------------
+# Distributed assembly
+# ---------------------------------------------------------------------------
+
+
+def _local_assemble(grid: DistGrid, dtype, body_force):
+    """Builds the shard_map-local assembly function."""
+    nex, ney = grid.nex, grid.ney
+    my, mx = grid.my, grid.mx
+    hx = 1.0 / nex
+    hy = 1.0 / ney
+    nxn, nyn = nex + 1, ney + 1  # true (unpadded) node counts
+    bf = fem.BODY_FORCES[body_force] if isinstance(body_force, str) else body_force
+
+    def local(_):
+        pj = lax.axis_index(GY)
+        pi = lax.axis_index(GX)
+        jlo = pj * my
+        ilo = pi * mx
+        # candidate elements: lower-left node local -> (my, mx) grid
+        ej = jlo + jnp.arange(my)[:, None]
+        ei = ilo + jnp.arange(mx)[None, :]
+        valid = (ej < ney) & (ei < nex)  # (my, mx)
+        # uniform-grid corner coords computed analytically (no comm):
+        x0 = ei.astype(dtype) * hx
+        y0 = ej.astype(dtype) * hy
+        x0, y0 = jnp.broadcast_arrays(x0, y0)
+        corners = jnp.stack(
+            [
+                jnp.stack([x0, y0], -1),
+                jnp.stack([x0, y0 + hy], -1),
+                jnp.stack([x0 + hx, y0 + hy], -1),
+                jnp.stack([x0 + hx, y0], -1),
+            ],
+            axis=-2,
+        )  # (my, mx, 4, 2)
+        ke = fem.element_stiffness(corners)  # (my, mx, 8, 8)
+        ke = jnp.where(valid[:, :, None, None], ke, 0.0)
+        # accumulate into padded local stencil (ghost ring for +1 spill)
+        Wp = jnp.zeros((my + 2, mx + 2, 3, 3, 2, 2), dtype)
+        kb = ke.reshape(my, mx, 4, 2, 4, 2)
+        for a, (aj, ai) in enumerate(_NODE_OFF):
+            for b, (bj, bi) in enumerate(_NODE_OFF):
+                sj, si = bj - aj + 1, bi - ai + 1
+                Wp = Wp.at[
+                    1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx, sj, si
+                ].add(kb[:, :, a, :, b, :])
+        W = halo_add(Wp)
+        # rhs
+        fe = fem.element_rhs(corners, bf).reshape(my, mx, 4, 2)
+        fe = jnp.where(valid[:, :, None, None], fe, 0.0)
+        fp = jnp.zeros((my + 2, mx + 2, 2), dtype)
+        for a, (aj, ai) in enumerate(_NODE_OFF):
+            fp = fp.at[1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx].add(
+                fe[:, :, a]
+            )
+        f = halo_add(fp)
+        # masks: Dirichlet boundary of the TRUE grid, plus padding nodes
+        gj = jlo + jnp.arange(my)[:, None]
+        gi = ilo + jnp.arange(mx)[None, :]
+        inactive = (gj >= nyn) | (gi >= nxn)
+        bc = (
+            (gi == 0) | (gi == nxn - 1) | (gj == 0) | (gj == nyn - 1)
+        ) & ~inactive
+        mask = bc | inactive  # eliminate both
+        # symmetric elimination with neighbor masks from halo exchange
+        maskp = halo_exchange(mask.astype(dtype))[..., None] > 0.5
+        W = jnp.where(mask[:, :, None, None, None, None], 0.0, W)
+        for dj in range(3):
+            for di in range(3):
+                nbr = maskp[dj : dj + my, di : di + mx, 0]
+                W = W.at[:, :, dj, di].multiply(
+                    jnp.where(nbr, 0.0, 1.0)[:, :, None, None]
+                )
+        eye = jnp.eye(2, dtype=dtype)
+        W = W.at[:, :, 1, 1].set(
+            jnp.where(mask[:, :, None, None], eye, W[:, :, 1, 1])
+        )
+        f = jnp.where(mask[:, :, None], 0.0, f)
+        return W, f, mask, bc
+
+    return local
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grid", "dtype", "body_force"),
+)
+def assemble_poisson_dist(
+    grid: DistGrid, dtype=jnp.float64, body_force="constant"
+):
+    """Distributed assembly of the BC'd vector-Poisson system.
+
+    Runs entirely under shard_map: per-device element batches, halo_add
+    ghost accumulation, distributed symmetric BC elimination.  Returns
+    (A: DistStencilOperator, f, mask) with (gy, gx)-sharded arrays.
+    """
+    local = _local_assemble(grid, dtype, body_force)
+    fn = jax.shard_map(
+        local,
+        mesh=grid.mesh,
+        in_specs=(P(),),
+        out_specs=(P(GY, GX), P(GY, GX), P(GY, GX), P(GY, GX)),
+    )
+    W, f, mask, bc = fn(jnp.zeros((1,), dtype))
+    return DistStencilOperator(W, grid.mesh), f, mask
+
+
+def assemble_constraints_dist(grid: DistGrid, mask, dtype=jnp.float64):
+    """Distributed constraint row assembly -> (4, ny, nx, 2) sharded.
+
+    Same functionals as models/saddle.py (barycentre + first moments),
+    assembled per-device with halo_add."""
+    nex, ney = grid.nex, grid.ney
+    my, mx = grid.my, grid.mx
+    hx, hy = 1.0 / nex, 1.0 / ney
+
+    def local(mask_l):
+        pj = lax.axis_index(GY)
+        pi = lax.axis_index(GX)
+        ej = pj * my + jnp.arange(my)[:, None]
+        ei = pi * mx + jnp.arange(mx)[None, :]
+        valid = (ej < ney) & (ei < nex)
+        x0 = ei.astype(dtype) * hx
+        y0 = ej.astype(dtype) * hy
+        x0, y0 = jnp.broadcast_arrays(x0, y0)
+        corners = jnp.stack(
+            [
+                jnp.stack([x0, y0], -1),
+                jnp.stack([x0, y0 + hy], -1),
+                jnp.stack([x0 + hx, y0 + hy], -1),
+                jnp.stack([x0 + hx, y0], -1),
+            ],
+            axis=-2,
+        )
+        xi, w = fem.gauss_quadrature_q1(dtype)
+        ni = fem.shape_q1(xi)
+        gni = fem.grad_shape_q1(xi)
+        _, det = fem.grad_shape_physical(gni, corners[..., None, :, :])
+        xp = jnp.einsum("pi,...id->...pd", ni, corners)
+        rows = []
+        from saddle_point_petsc_tpu.models.saddle import default_constraints
+
+        for fn_c in default_constraints(dtype):
+            wx, wy = fn_c(xp[..., 0], xp[..., 1])
+            wcomp = jnp.stack([wx, wy], axis=-1)
+            be = jnp.einsum("...p,pa,...pc->...ac", w * det, ni, wcomp)
+            be = jnp.where(valid[:, :, None, None], be, 0.0)
+            bp = jnp.zeros((my + 2, mx + 2, 2), dtype)
+            for a, (aj, ai) in enumerate(_NODE_OFF):
+                bp = bp.at[
+                    1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx
+                ].add(be[:, :, a])
+            rows.append(halo_add(bp))
+        B = jnp.stack(rows, axis=0)  # (4, my, mx, 2)
+        return jnp.where(mask_l[None, :, :, None], 0.0, B)
+
+    fn = jax.shard_map(
+        local,
+        mesh=grid.mesh,
+        in_specs=(P(GY, GX),),
+        out_specs=P(None, GY, GX),
+    )
+    return fn(mask)
+
+
+def assemble_saddle_dist(grid: DistGrid, dtype=jnp.float64, body_force="trig"):
+    """Distributed KKT system (A, B rows, rhs) — BASELINE.md configs 4-5."""
+    A, f, mask = assemble_poisson_dist(grid, dtype, body_force)
+    Brows = assemble_constraints_dist(grid, mask, dtype)
+    K = DistSaddleOperator(A, Brows)
+    g = jnp.zeros((Brows.shape[0],), dtype)
+    return K, (f, g), mask

@@ -1,0 +1,197 @@
+"""KSP: runtime-configurable Krylov solve driver (PETSc KSP + PC contract).
+
+Mirrors the reference's use of the options database to pick solver and
+preconditioner at runtime with no recompilation of user code:
+KSPCreate/KSPSetOperators/KSPSetFromOptions/KSPSolve
+(/root/reference/src/SaddlePointProblem.c:65-72).
+
+Supported options (prefix-scoped; defaults follow PETSc where sensible):
+  -ksp_type {cg,minres,gmres,fgmres,richardson,chebyshev}   [gmres]
+  -ksp_rtol <r>       [1e-5]      -ksp_atol <a>   [1e-50]
+  -ksp_divtol <d>     [1e5]       -ksp_max_it <n> [10000]
+  -ksp_gmres_restart <m>          [30]
+  -ksp_monitor                    (per-iteration residual printing)
+  -ksp_converged_reason           (print reason after solve)
+  -pc_type {none,jacobi,pbjacobi,sor,bjacobi,ilu,chebyshev,fieldsplit,mg}
+           [jacobi]
+  -pc_bjacobi_blocks <n>  [4]     -pc_sor_omega <w> [1.0]
+  -pc_ilu_sweeps <k>  [6]         (0 = exact sequential triangular solves)
+  -pc_fieldsplit_type {additive,multiplicative,schur}
+  -pc_fieldsplit_schur_fact_type {diag,lower,upper,full}
+  -fieldsplit_inner_* (inner KSP options for the Schur A-solve)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from saddle_point_petsc_tpu.ops import sparse as sp
+from saddle_point_petsc_tpu.ops.stencil import StencilOperator
+from saddle_point_petsc_tpu.solvers import krylov, precond
+from saddle_point_petsc_tpu.solvers.operators import SaddleOperator
+from saddle_point_petsc_tpu.utils.options import Options
+
+
+def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
+    """Build a preconditioner for operator A from options (PC factory).
+
+    ksp_type (when known) picks solver-appropriate defaults: MINRES/CG
+    require an SPD PC, so the Schur factorization defaults to "diag" for
+    them and "full" for (F)GMRES (matching PETSc's constraint that
+    -pc_fieldsplit_schur_fact_type full needs a nonsymmetric-capable KSP).
+    """
+    opts = opts if opts is not None else Options()
+    if pc_type in ("none", ""):
+        return precond.IdentityPC()
+
+    if isinstance(A, SaddleOperator):
+        # block system: only fieldsplit/schur (and none) make sense
+        if pc_type != "fieldsplit":
+            raise ValueError(
+                f"pc_type {pc_type!r} unsupported for the KKT block system;"
+                " use -pc_type fieldsplit (schur)"
+            )
+        default_fact = "diag" if ksp_type in ("minres", "cg") else "full"
+        fact = opts.get_str("pc_fieldsplit_schur_fact_type", default_fact)
+        inner_type = opts.get_str("fieldsplit_inner_ksp_type", "none")
+        inner_pc = make_pc(
+            opts.get_str("fieldsplit_inner_pc_type", "jacobi"), A.A, opts
+        )
+        if inner_type == "none":
+            inner_solve = inner_pc
+        else:
+            inner_solve = precond.KSPInnerPC(
+                A.A,
+                inner_pc,
+                solver=inner_type,
+                rtol=opts.get_float("fieldsplit_inner_ksp_rtol", 1e-2),
+                maxiter=opts.get_int("fieldsplit_inner_ksp_max_it", 10),
+            )
+        return precond.schur_pc(A.A, A.B, inner_solve, fact_type=fact)
+
+    if pc_type == "jacobi":
+        return precond.jacobi(A)
+    if pc_type == "pbjacobi":
+        return precond.pbjacobi(A)
+    if pc_type == "sor":
+        if not isinstance(A, StencilOperator):
+            raise ValueError("sor PC requires a stencil operator")
+        return precond.sor(
+            A,
+            omega=opts.get_float("pc_sor_omega", 1.0),
+            sweeps=opts.get_int("pc_sor_its", 1),
+        )
+    if pc_type == "bjacobi":
+        nb = opts.get_int("pc_bjacobi_blocks", 4)
+        if isinstance(A, StencilOperator):
+            return precond.block_jacobi_stencil(A, nb)
+        if isinstance(A, sp.CSR):
+            return precond.block_jacobi(A, nb)
+        raise ValueError("bjacobi PC requires stencil or CSR operator")
+    if pc_type == "ilu":
+        sweeps = opts.get_int("pc_ilu_sweeps", 6)
+        if isinstance(A, StencilOperator):
+            from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
+
+            csr = sp.csr_compact(sp.coo_to_csr(stencil_to_coo(A.W)))
+        elif isinstance(A, sp.CSR):
+            csr = A
+        else:
+            raise ValueError("ilu PC requires stencil or CSR operator")
+        return precond.ilu0(csr, sweeps=sweeps)
+    if pc_type == "chebyshev":
+        return precond.chebyshev_pc(
+            A,
+            lmin=opts.get_float("pc_chebyshev_lmin", 0.1),
+            lmax=opts.get_float("pc_chebyshev_lmax", 1.1),
+            iters=opts.get_int("pc_chebyshev_its", 3),
+        )
+    if pc_type == "fieldsplit":
+        fs_type = opts.get_str("pc_fieldsplit_type", "additive")
+        if not isinstance(A, StencilOperator):
+            raise ValueError("fieldsplit PC requires a stencil operator")
+        return precond.fieldsplit(A, fs_type=fs_type)
+    if pc_type == "mg":
+        from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
+
+        return mg_pc(A, opts)
+    raise ValueError(f"unknown pc_type {pc_type!r}")
+
+
+@dataclasses.dataclass
+class KSP:
+    """Krylov solve context configured from the options database."""
+
+    opts: Options = dataclasses.field(default_factory=Options)
+    prefix: str = ""
+    ksp_type: str = "gmres"
+    pc_type: str = "jacobi"
+    rtol: float = 1e-5
+    atol: float = 1e-50
+    dtol: float = 1e5
+    max_it: int = 10000
+    restart: int = 30
+    monitor: bool = False
+    A: Any = None
+    M: Any = None
+
+    def set_operators(self, A, M=None):
+        self.A = A
+        self.M = M
+        return self
+
+    def set_from_options(self):
+        """Read -ksp_*/-pc_* (with this KSP's prefix) from the database.
+        ref contract: KSPSetFromOptions (SaddlePointProblem.c:67)."""
+        o = self.opts.scoped(self.prefix) if self.prefix else self.opts
+        self.ksp_type = o.get_str("ksp_type", self.ksp_type)
+        self.rtol = o.get_float("ksp_rtol", self.rtol)
+        self.atol = o.get_float("ksp_atol", self.atol)
+        self.dtol = o.get_float("ksp_divtol", self.dtol)
+        self.max_it = o.get_int("ksp_max_it", self.max_it)
+        self.restart = o.get_int("ksp_gmres_restart", self.restart)
+        self.monitor = o.get_bool("ksp_monitor", self.monitor)
+        self.pc_type = o.get_str("pc_type", self.pc_type)
+        return self
+
+    def set_up(self):
+        """Build the PC (ref: KSPSetUp, SaddlePointProblem.c:68)."""
+        if self.M is None and self.A is not None:
+            o = self.opts.scoped(self.prefix) if self.prefix else self.opts
+            self.M = make_pc(self.pc_type, self.A, o, ksp_type=self.ksp_type)
+        return self
+
+    def solve(self, b, x0=None) -> krylov.KrylovResult:
+        if self.M is None:
+            self.set_up()
+        kwargs = dict(
+            M=self.M,
+            x0=x0,
+            rtol=self.rtol,
+            atol=self.atol,
+            dtol=self.dtol,
+            maxiter=self.max_it,
+            monitor=self.monitor,
+        )
+        if self.ksp_type in ("gmres", "fgmres"):
+            kwargs["restart"] = self.restart
+        if self.ksp_type == "chebyshev":
+            kwargs = dict(M=self.M, x0=x0, maxiter=self.max_it)
+        if self.ksp_type == "richardson":
+            kwargs.pop("restart", None)
+        fn = krylov.SOLVERS[self.ksp_type]
+        res = fn(self.A, b, **kwargs)
+        o = self.opts.scoped(self.prefix) if self.prefix else self.opts
+        if o.get_bool("ksp_converged_reason"):
+            import sys
+
+            name = res.reason_name()
+            its = int(res.iterations)
+            word = "CONVERGED" if int(res.converged_reason) > 0 else "DIVERGED"
+            print(
+                f"Linear solve {word} due to {name} iterations {its}",
+                file=sys.stdout,
+            )
+        return res

@@ -1,0 +1,631 @@
+"""Preconditioners (PC subset) — composable, jit-friendly pytrees.
+
+TPU-native equivalents of the PCs the reference reaches through
+`-pc_type` / KSPSetFromOptions (/root/reference/src/SaddlePointProblem.c:67;
+PETSc defaults: ILU serial, block-Jacobi+ILU parallel).  North-star set
+(SURVEY.md §2b P7): Jacobi, point-block Jacobi, domain block-Jacobi,
+ILU(0)-class, Chebyshev/AMG-smoother-class, fieldsplit with Schur
+complement.
+
+Every PC is a registered pytree with `__call__(r) -> z`, so it can be
+passed straight into the Krylov solvers (including through jit boundaries)
+and composed (e.g. fieldsplit sub-PCs, Chebyshev over Jacobi).
+
+TPU design notes:
+- ILU(0) triangular solves are inherently sequential (SURVEY.md §7 hard
+  part (c)); the factorization runs on host at setup (numpy; C++ kernel in
+  csrc/ when built), and application uses *fixed-sweep Jacobi iteration on
+  the triangular factors* — fully parallel on the VPU, exact in the limit,
+  and in practice 4-8 sweeps reproduce exact-ILU iterate counts.  An exact
+  `lax.scan` path exists for small systems/validation.
+- Red-black SOR exploits the structured-grid 2-coloring: each half-sweep
+  is a dense masked stencil op — the TPU answer to sequential Gauss-Seidel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saddle_point_petsc_tpu.ops import sparse as sp
+from saddle_point_petsc_tpu.ops.stencil import StencilOperator, stencil_matvec
+
+
+def _register(cls, fields, meta=()):
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda o: (
+            tuple(getattr(o, f) for f in fields),
+            tuple(getattr(o, m) for m in meta),
+        ),
+        lambda m, d: cls(*d, *m),
+    )
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# Identity / Jacobi family
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class IdentityPC:
+    def __call__(self, r):
+        return r
+
+
+jax.tree_util.register_pytree_node(
+    IdentityPC, lambda o: ((), None), lambda m, d: IdentityPC()
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class JacobiPC:
+    """Diagonal scaling z = D^{-1} r (PETSc PCJACOBI)."""
+
+    inv_diag: Any  # same pytree structure as vectors
+
+    def __call__(self, r):
+        return jax.tree_util.tree_map(jnp.multiply, self.inv_diag, r)
+
+
+_register(JacobiPC, ("inv_diag",))
+
+
+def jacobi(A) -> JacobiPC:
+    """Build from anything exposing .diagonal() (stencil, CSR via helper)."""
+    if isinstance(A, StencilOperator):
+        d = A.diagonal()
+    elif isinstance(A, sp.CSR):
+        d = sp.csr_extract_diagonal(A)
+    else:
+        d = A.diagonal()
+    safe = jnp.where(d == 0, 1.0, d)
+    return JacobiPC(1.0 / safe)
+
+
+@dataclasses.dataclass(frozen=True)
+class PBJacobiPC:
+    """Point-block Jacobi: invert the dof x dof diagonal blocks
+    (PETSc PCPBJACOBI; natural for the 2-dof interleaved DMDA layout,
+    ref Discretization.c:17)."""
+
+    inv_blocks: Any  # (..., b, b) matching the field layout
+
+    def __call__(self, r):
+        if r.ndim == 1:
+            b = self.inv_blocks.shape[-1]
+            rb = r.reshape(-1, b)
+            ib = self.inv_blocks.reshape(-1, b, b)
+            return jnp.einsum("ncd,nd->nc", ib, rb).reshape(-1)
+        return jnp.einsum("...cd,...d->...c", self.inv_blocks, r)
+
+
+_register(PBJacobiPC, ("inv_blocks",))
+
+
+def pbjacobi(A) -> PBJacobiPC:
+    if isinstance(A, StencilOperator):
+        blocks = A.diag_blocks()  # (ny, nx, 2, 2)
+    elif isinstance(A, sp.BSR):
+        blocks = sp.bsr_extract_diag_blocks(A)
+    else:
+        raise TypeError(f"pbjacobi: unsupported operator {type(A)}")
+    return PBJacobiPC(jnp.linalg.inv(blocks))
+
+
+# ---------------------------------------------------------------------------
+# Domain block-Jacobi with dense Cholesky sub-solves
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockJacobiPC:
+    """Contiguous row blocks, each solved exactly with a dense Cholesky
+    factor (vmapped triangular solves -> MXU-friendly batched work).
+
+    The TPU-native version of PETSc PCBJACOBI (+LU/ILU sub-PC): equal-size
+    blocks so the per-block solves batch into one (nb, bs, bs) operation.
+    """
+
+    chol: Any  # (nb, bs, bs) lower Cholesky factors
+    n: int  # true vector length (blocks may be padded)
+
+    def __call__(self, r):
+        shape = None
+        if not isinstance(r, jnp.ndarray) or r.ndim != 1:
+            shape = r.shape
+            r = r.reshape(-1)
+        nb, bs, _ = self.chol.shape
+        pad = nb * bs - self.n
+        rp = jnp.pad(r, (0, pad)).reshape(nb, bs)
+        z = jax.scipy.linalg.cho_solve((self.chol, True), rp[..., None])[
+            ..., 0
+        ]
+        z = z.reshape(-1)[: self.n]
+        return z.reshape(shape) if shape is not None else z
+
+
+_register(BlockJacobiPC, ("chol",), ("n",))
+
+
+def block_jacobi(A_dense_or_csr, nblocks=4) -> BlockJacobiPC:
+    """Host setup: extract nb diagonal blocks and Cholesky-factor them.
+
+    Accepts a CSR (host extraction via scipy) or a dense array.
+    Blocks are equal-size (last one padded with identity).
+    """
+    if isinstance(A_dense_or_csr, sp.CSR):
+        a = sp.csr_to_scipy(A_dense_or_csr)
+        n = a.shape[0]
+        get = lambda lo, hi: a[lo:hi, lo:hi].toarray()
+    else:
+        a = np.asarray(A_dense_or_csr)
+        n = a.shape[0]
+        get = lambda lo, hi: a[lo:hi, lo:hi]
+    bs = -(-n // nblocks)
+    blocks = np.zeros((nblocks, bs, bs), a.dtype if hasattr(a, "dtype") else np.float64)
+    for k in range(nblocks):
+        lo, hi = k * bs, min((k + 1) * bs, n)
+        m = hi - lo
+        blocks[k, :m, :m] = get(lo, hi)
+        if m < bs:
+            blocks[k, m:, m:] = np.eye(bs - m)
+    chol = np.linalg.cholesky(blocks)
+    return BlockJacobiPC(jnp.asarray(chol), n)
+
+
+def block_jacobi_stencil(op: StencilOperator, nblocks=4) -> BlockJacobiPC:
+    """Block-Jacobi over row strips of a stencil operator (host setup)."""
+    from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
+
+    csr = sp.coo_to_csr(stencil_to_coo(op.W))
+    return block_jacobi(sp.csr_compact(csr), nblocks)
+
+
+# ---------------------------------------------------------------------------
+# ILU(0)
+# ---------------------------------------------------------------------------
+
+
+def ilu0_factor_host(csr: sp.CSR):
+    """ILU(0) factorization on host (setup time).  Returns (L, U) CSR parts:
+    L strictly lower (unit diagonal implicit), U upper incl. diagonal.
+
+    Standard IKJ algorithm restricted to the sparsity pattern of A.
+    Uses the C++ kernel from csrc/ when available, else numpy/python.
+    """
+    a = sp.csr_to_scipy(csr).copy()
+    a.sort_indices()
+    n = a.shape[0]
+    indptr, indices, data = a.indptr, a.indices, a.data
+    try:
+        from saddle_point_petsc_tpu.utils import native
+
+        data = native.ilu0(indptr, indices, data.copy(), n)
+    except Exception:
+        data = _ilu0_python(indptr, indices, data.copy(), n)
+    import scipy.sparse as sps
+
+    f = sps.csr_matrix((data, indices, indptr), shape=a.shape)
+    L = sps.tril(f, k=-1).tocsr()
+    U = sps.triu(f, k=0).tocsr()
+    return sp.scipy_to_csr(L), sp.scipy_to_csr(U)
+
+
+def _ilu0_python(indptr, indices, data, n):
+    """Reference ILU(0) (numpy/python; slow — C++ path preferred)."""
+    diag_idx = np.zeros(n, np.int64)
+    colpos = {}
+    for i in range(n):
+        row = slice(indptr[i], indptr[i + 1])
+        cols = indices[row]
+        colpos[i] = {c: indptr[i] + k for k, c in enumerate(cols)}
+        d = colpos[i].get(i)
+        if d is None:
+            raise ValueError(f"ILU0: missing diagonal in row {i}")
+        diag_idx[i] = d
+    for i in range(n):
+        for kk in range(indptr[i], indptr[i + 1]):
+            k = indices[kk]
+            if k >= i:
+                break
+            akk = data[diag_idx[k]]
+            data[kk] /= akk
+            lik = data[kk]
+            rowk = colpos[k]
+            for jj in range(kk + 1, indptr[i + 1]):
+                j = indices[jj]
+                pos = rowk.get(j)
+                if pos is not None and j > k:
+                    data[jj] -= lik * data[pos]
+    return data
+
+
+@dataclasses.dataclass(frozen=True)
+class ILU0PC:
+    """Apply z = U^{-1} L^{-1} r.
+
+    sweeps > 0: fixed-count Jacobi sweeps on each triangular factor
+    (parallel, TPU-friendly, approximate — exact as sweeps -> n).
+    sweeps == 0: exact sequential solve via lax.scan over ELL rows
+    (for validation / small systems).
+    """
+
+    L: Any  # strictly-lower CSR
+    U: Any  # upper CSR incl. diag
+    inv_udiag: Any  # (n,)
+    ell_L: Any  # ELL forms for the exact scan path
+    ell_U: Any
+    sweeps: int = 6
+
+    def __call__(self, r):
+        shape = None
+        if r.ndim != 1:
+            shape = r.shape
+            r = r.reshape(-1)
+        if self.sweeps > 0:
+            # (I + L) y = r, unit diagonal: y <- r - L y
+            y = r
+            for _ in range(self.sweeps):
+                y = r - sp.csr_matvec(self.L, y)
+            # (D + U_strict) z = y: z <- Dinv * (y - U_strict z)
+            z = self.inv_udiag * y
+            for _ in range(self.sweeps):
+                z = self.inv_udiag * (y - sp.csr_matvec(self.U, z))
+            out = z
+        else:
+            y = _scan_lower_solve(self.ell_L, r)
+            out = _scan_upper_solve(self.ell_U, self.inv_udiag, y)
+        return out.reshape(shape) if shape is not None else out
+
+
+_register(ILU0PC, ("L", "U", "inv_udiag", "ell_L", "ell_U"), ("sweeps",))
+
+
+def _scan_lower_solve(ell, r):
+    """Exact y = (I + L)^{-1} r sequentially over rows (validation path)."""
+    n = r.shape[0]
+    cols, vals = ell.cols, ell.vals
+
+    def step(y, i):
+        c = cols[i]
+        v = jnp.where(c >= 0, vals[i], 0.0)
+        yi = r[i] - jnp.sum(v * y[jnp.where(c >= 0, c, 0)])
+        return y.at[i].set(yi), None
+
+    y0 = jnp.zeros_like(r)
+    y, _ = jax.lax.scan(step, y0, jnp.arange(n))
+    return y
+
+
+def _scan_upper_solve(ell, inv_diag, r):
+    n = r.shape[0]
+    cols, vals = ell.cols, ell.vals
+
+    def step(z, i):
+        c = cols[i]
+        v = jnp.where(c >= 0, vals[i], 0.0)
+        zi = inv_diag[i] * (r[i] - jnp.sum(v * z[jnp.where(c >= 0, c, 0)]))
+        return z.at[i].set(zi), None
+
+    z0 = jnp.zeros_like(r)
+    z, _ = jax.lax.scan(step, z0, jnp.arange(n, 0, -1) - 1)
+    return z
+
+
+def ilu0(csr: sp.CSR, sweeps: int = 6) -> ILU0PC:
+    """ILU(0) preconditioner: host factorization + device application."""
+    L, U = ilu0_factor_host(csr)
+    ud = sp.csr_extract_diagonal(U)
+    inv_ud = 1.0 / jnp.where(ud == 0, 1.0, ud)
+    import scipy.sparse as sps
+
+    Ls = sp.csr_to_scipy(L)
+    Us = sp.csr_to_scipy(U).copy()
+    Us.setdiag(0.0)
+    Us.eliminate_zeros()
+    # strictly-upper for the sweep path; ELL (incl. diag handling) for scan
+    U_strict = sp.scipy_to_csr(Us)
+    ell_L = sp.csr_to_ell(L)
+    ell_U = sp.csr_to_ell(U_strict)
+    return ILU0PC(L, U_strict, inv_ud, ell_L, ell_U, sweeps)
+
+
+# ---------------------------------------------------------------------------
+# Red-black SOR (structured grids)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RedBlackSORPC:
+    """Symmetric red-black Gauss-Seidel/SOR on a stencil operator.
+
+    The 9-point stencil couples each node only to the opposite color in the
+    (i+j) 2-coloring for the 5-point part; with the full box stencil the
+    coloring is approximate GS, which is still an effective smoother.  Each
+    half-sweep is a full-grid masked stencil op — no sequential dependence.
+    """
+
+    op: StencilOperator
+    inv_blocks: Any  # (ny, nx, 2, 2)
+    omega: float = 1.0
+    sweeps: int = 1
+
+    def __call__(self, r):
+        shape = None
+        ny, nx = self.op.grid_shape
+        if r.ndim == 1:
+            shape = (-1,)
+            r = r.reshape(ny, nx, 2)
+        j = jnp.arange(ny)[:, None]
+        i = jnp.arange(nx)[None, :]
+        red = ((i + j) % 2 == 0)[:, :, None]
+        z = jnp.zeros_like(r)
+
+        def half(z, color_mask):
+            res = r - self.op.matvec_field(z)
+            dz = jnp.einsum("yxcd,yxd->yxc", self.inv_blocks, res)
+            return z + self.omega * jnp.where(color_mask, dz, 0.0)
+
+        for _ in range(self.sweeps):
+            z = half(z, red)
+            z = half(z, ~red)
+            z = half(z, ~red)  # symmetric sweep (SSOR ordering)
+            z = half(z, red)
+        return z.reshape(-1) if shape else z
+
+
+_register(RedBlackSORPC, ("op", "inv_blocks"), ("omega", "sweeps"))
+
+
+def sor(op: StencilOperator, omega=1.0, sweeps=1) -> RedBlackSORPC:
+    blocks = op.diag_blocks()
+    return RedBlackSORPC(op, jnp.linalg.inv(blocks), omega, sweeps)
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev smoother PC (AMG-smoother-class)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ChebyshevPC:
+    """Fixed Chebyshev iterations with Jacobi inner scaling — the standard
+    parallel AMG smoother (inner-product-free: zero psums on TPU)."""
+
+    A: Any
+    inner: Any  # inner PC (e.g. JacobiPC)
+    lmin: float
+    lmax: float
+    iters: int
+
+    def __call__(self, r):
+        from saddle_point_petsc_tpu.solvers.krylov import chebyshev
+
+        return chebyshev(
+            self.A, r, M=self.inner, lmin=self.lmin, lmax=self.lmax,
+            maxiter=self.iters,
+        ).x
+
+
+_register(ChebyshevPC, ("A", "inner"), ("lmin", "lmax", "iters"))
+
+
+def chebyshev_pc(A, inner=None, lmin=0.1, lmax=1.1, iters=3) -> ChebyshevPC:
+    if inner is None:
+        inner = jacobi(A)
+    return ChebyshevPC(A, inner, lmin, lmax, iters)
+
+
+def estimate_lmax(A, M=None, n=None, iters=10, key=None, template=None):
+    """Power iteration estimate of lambda_max(M A) for Chebyshev bounds."""
+    if M is None:
+        M = lambda x: x
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if template is None:
+        raise ValueError("need a template vector")
+    v = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(key, a.shape, a.dtype), template
+    )
+    from saddle_point_petsc_tpu.solvers.krylov import tdot, tnorm, tscale
+
+    lam = jnp.asarray(1.0)
+    for _ in range(iters):
+        w = M(A(v))
+        lam = tnorm(w)
+        v = tscale(1.0 / lam, w)
+    return lam
+
+
+# ---------------------------------------------------------------------------
+# FieldSplit / Schur for the KKT block system
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SchurPC:
+    """Fieldsplit Schur-complement PC for [[A, B^T], [B, 0]] on (u, lam).
+
+    PETSc PCFIELDSPLIT with -pc_fieldsplit_type schur and
+    Schur-pre 'selfp'-style approximation S ~= -B diag(A)^{-1} B^T
+    (BASELINE.json north star).  `fact_type` mirrors
+    -pc_fieldsplit_schur_fact_type: diag | lower | upper | full.
+    For MINRES use fact_type="diag" (SPD: uses |S|); for GMRES/FGMRES the
+    triangular/full variants give the classic 1-2-iteration outer solves.
+
+    inner_solve: callable r_u -> approx A^{-1} r_u (a PC or inner KSP).
+    S is m x m dense (m = #constraints = 4 in the reference's design) and
+    factorized exactly on device.
+    """
+
+    inner_solve: Any
+    B: Any  # (m, n)
+    S_inv: Any  # (m, m) dense inverse of the (sign-definite) Schur approx
+    fact_type: str = "full"
+
+    def __call__(self, r):
+        ru, rlam = r
+        ushape = ru.shape
+        ruf = ru.reshape(-1)
+
+        def Ainv(x_flat):
+            return self.inner_solve(x_flat.reshape(ushape)).reshape(-1)
+
+        if self.fact_type == "diag":
+            # MINRES needs an SPD PC: the lambda block uses +(B D^-1 B^T)^-1
+            # = -(S_inv), since S = -B D^-1 B^T is negative definite.
+            zu = Ainv(ruf)
+            zlam = -(self.S_inv @ rlam)
+            return (zu.reshape(ushape), zlam)
+        if self.fact_type == "lower":
+            zu = Ainv(ruf)
+            zlam = self.S_inv @ (rlam - self.B @ zu)
+            return (zu.reshape(ushape), zlam)
+        if self.fact_type == "upper":
+            zlam = self.S_inv @ rlam
+            zu = Ainv(ruf - self.B.T @ zlam)
+            return (zu.reshape(ushape), zlam)
+        # full: L-D-U application
+        yu = Ainv(ruf)
+        zlam = self.S_inv @ (rlam - self.B @ yu)
+        zu = yu - Ainv(self.B.T @ zlam)
+        return (zu.reshape(ushape), zlam)
+
+
+_register(SchurPC, ("inner_solve", "B", "S_inv"), ("fact_type",))
+
+
+def schur_pc(A, B, inner_solve=None, fact_type="full") -> SchurPC:
+    """Build the Schur PC with S = -B diag(A)^{-1} B^T (dense m x m)."""
+    if isinstance(A, StencilOperator):
+        d = A.diagonal().reshape(-1)
+    elif isinstance(A, sp.CSR):
+        d = sp.csr_extract_diagonal(A)
+    else:
+        d = A.diagonal()
+    dinv = 1.0 / jnp.where(d == 0, 1.0, d)
+    S = -(B * dinv[None, :]) @ B.T  # (m, m), negative definite
+    S_inv = jnp.linalg.inv(S)
+    if inner_solve is None:
+        if isinstance(A, StencilOperator):
+            inner_solve = jacobi(A)
+        else:
+            inner_solve = JacobiPC(dinv)
+    return SchurPC(inner_solve, B, S_inv, fact_type)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSplitPC:
+    """Additive/multiplicative fieldsplit over the 2 velocity components
+    (Ux/Uy), exploiting the interleaved-dof layout the reference sets up
+    via DMDASetFieldName (ref Discretization.c:23-24).
+
+    Splits a stencil operator into two scalar 9-point operators and applies
+    a sub-PC per field.  fs_type: "additive" (block-diag) or
+    "multiplicative" (block Gauss-Seidel over fields).
+    """
+
+    op: StencilOperator
+    sub0: Any  # PC for field 0 system
+    sub1: Any
+    fs_type: str = "additive"
+
+    def __call__(self, r):
+        shape = None
+        ny, nx = self.op.grid_shape
+        if r.ndim == 1:
+            shape = (-1,)
+            r = r.reshape(ny, nx, 2)
+        r0, r1 = r[..., 0], r[..., 1]
+        z0 = self.sub0(r0)
+        if self.fs_type == "multiplicative":
+            # r1 <- r1 - A10 z0
+            W01 = self.op.W[..., 1, 0]  # coupling field0 -> field1 rows
+            ny_, nx_ = ny, nx
+            zp = jnp.pad(z0, ((1, 1), (1, 1)))
+            a10z = jnp.zeros_like(r1)
+            for dj in range(3):
+                for di in range(3):
+                    a10z = a10z + self.op.W[:, :, dj, di, 1, 0] * zp[
+                        dj : dj + ny_, di : di + nx_
+                    ]
+            r1 = r1 - a10z
+        z1 = self.sub1(r1)
+        z = jnp.stack([z0, z1], axis=-1)
+        return z.reshape(-1) if shape else z
+
+
+_register(FieldSplitPC, ("op", "sub0", "sub1"), ("fs_type",))
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalarStencilOp:
+    """Scalar 9-point stencil operator extracted from one (c, c) dof block."""
+
+    Ws: Any  # (ny, nx, 3, 3)
+
+    def __call__(self, x):
+        ny, nx = self.Ws.shape[:2]
+        xp = jnp.pad(x, ((1, 1), (1, 1)))
+        y = jnp.zeros_like(x)
+        for dj in range(3):
+            for di in range(3):
+                y = y + self.Ws[:, :, dj, di] * xp[dj : dj + ny, di : di + nx]
+        return y
+
+    def diagonal(self):
+        return self.Ws[:, :, 1, 1]
+
+
+jax.tree_util.register_pytree_node(
+    ScalarStencilOp, lambda o: ((o.Ws,), None), lambda _, d: ScalarStencilOp(*d)
+)
+
+
+def fieldsplit(op: StencilOperator, sub="jacobi", fs_type="additive") -> FieldSplitPC:
+    subs = []
+    for c in range(2):
+        s_op = ScalarStencilOp(op.W[..., c, c])
+        if sub == "jacobi":
+            d = s_op.diagonal()
+            inv = 1.0 / jnp.where(d == 0, 1.0, d)
+            subs.append(JacobiPC(inv))
+        else:
+            raise ValueError(f"fieldsplit sub-PC {sub!r} unsupported")
+    return FieldSplitPC(op, subs[0], subs[1], fs_type)
+
+
+# ---------------------------------------------------------------------------
+# Inner-KSP as a PC (for FGMRES / Schur inner solves)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class KSPInnerPC:
+    """Wrap an inner Krylov solve as a (generally nonlinear) PC.
+
+    Use under FGMRES.  solver: name in krylov.SOLVERS; fixed iteration
+    count/tolerance set at construction.
+    """
+
+    A: Any
+    M: Any
+    solver: str = "cg"
+    rtol: float = 1e-2
+    maxiter: int = 10
+
+    def __call__(self, r):
+        from saddle_point_petsc_tpu.solvers import krylov
+
+        fn = krylov.SOLVERS[self.solver]
+        return fn(
+            self.A, r, M=self.M, rtol=self.rtol, maxiter=self.maxiter
+        ).x
+
+
+_register(KSPInnerPC, ("A", "M"), ("solver", "rtol", "maxiter"))

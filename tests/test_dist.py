@@ -1,0 +1,165 @@
+"""Distributed (shard_map) tests on a fake 8-device CPU mesh — the same
+SPMD code paths as a TPU pod slice (SURVEY.md §4 item 4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from saddle_point_petsc_tpu.models import poisson, saddle
+from saddle_point_petsc_tpu.parallel import dist, halo
+from saddle_point_petsc_tpu.parallel.mesh import (
+    GX,
+    GY,
+    decide_process_grid,
+    field_sharding,
+    make_mesh,
+    shard_field,
+)
+from saddle_point_petsc_tpu.solvers import krylov
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return make_mesh(8, shape=(2, 4))
+
+
+def test_decide_process_grid():
+    assert decide_process_grid(8, 100, 100) in [(2, 4), (4, 2)]
+    assert decide_process_grid(4, 100, 100) == (2, 2)
+    assert decide_process_grid(8, 800, 100) == (8, 1)
+    py, px = decide_process_grid(6, 100, 100)
+    assert py * px == 6
+
+
+def test_halo_exchange_matches_zero_pad(mesh24, rng):
+    """Sharded halo_exchange must reproduce jnp.pad(x, 1) blockwise."""
+    x = rng.standard_normal((8, 16, 2))
+    xs = shard_field(jnp.asarray(x), mesh24)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda xl: halo.halo_exchange(xl),
+            mesh=mesh24,
+            in_specs=(P(GY, GX),),
+            out_specs=P(GY, GX),
+        )
+    )
+    out = np.asarray(fn(xs))  # blocks concatenated: (2*6, 4*6, 2)
+    xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
+    # reconstruct each device block and compare
+    my, mx = 4, 4
+    for pj in range(2):
+        for pi in range(4):
+            blk = out[pj * 6 : (pj + 1) * 6, pi * 6 : (pi + 1) * 6]
+            expect = xp[pj * my : pj * my + my + 2, pi * mx : pi * mx + mx + 2]
+            np.testing.assert_allclose(blk, expect)
+
+
+def test_halo_add_is_adjoint_of_exchange(mesh24, rng):
+    """<halo_exchange(x), y> == <x, halo_add(y)> — the VecScatter
+    forward/reverse pair must be exact adjoints."""
+    x = jnp.asarray(rng.standard_normal((8, 16, 2)))
+    y = jnp.asarray(rng.standard_normal((8 + 2 * 2, 16 + 4 * 2, 2)))  # padded blocks
+
+    ex = jax.jit(
+        jax.shard_map(
+            halo.halo_exchange, mesh=mesh24,
+            in_specs=(P(GY, GX),), out_specs=P(GY, GX),
+        )
+    )
+    ad = jax.jit(
+        jax.shard_map(
+            halo.halo_add, mesh=mesh24,
+            in_specs=(P(GY, GX),), out_specs=P(GY, GX),
+        )
+    )
+    xs = shard_field(x, mesh24)
+    ys = jax.device_put(
+        y, jax.sharding.NamedSharding(mesh24, P(GY, GX))
+    )
+    lhs = float(jnp.vdot(ex(xs), ys))
+    rhs = float(jnp.vdot(xs, ad(ys)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+@pytest.mark.parametrize("nex,ney", [(15, 15), (13, 9)])
+def test_dist_assembly_matches_serial(mesh24, nex, ney):
+    grid = dist.DistGrid.create(nex, ney, mesh24)
+    A, f, mask = dist.assemble_poisson_dist(grid)
+    ref = poisson.assemble_poisson(nex, ney)
+    nyn, nxn = ney + 1, nex + 1
+    W = np.asarray(A.W)[:nyn, :nxn]
+    np.testing.assert_allclose(W, np.asarray(ref.A.W), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(f)[:nyn, :nxn], np.asarray(ref.f), atol=1e-13
+    )
+    # padded nodes are identity rows with zero rhs
+    fW = np.asarray(A.W)
+    if fW.shape[0] > nyn:
+        pad_rows = fW[nyn:]
+        np.testing.assert_allclose(
+            pad_rows[:, :, 1, 1], np.eye(2), atol=1e-14
+        )
+
+
+def test_dist_matvec_matches_serial(mesh24, rng):
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    A, f, mask = dist.assemble_poisson_dist(grid)
+    ref = poisson.assemble_poisson(15, 15)
+    x = rng.standard_normal((16, 16, 2))
+    xs = shard_field(jnp.asarray(x), mesh24)
+    y_dist = np.asarray(jax.jit(A.matvec_field)(xs))
+    y_ref = np.asarray(ref.A.matvec_field(jnp.asarray(x)))
+    np.testing.assert_allclose(y_dist, y_ref, atol=1e-12)
+
+
+def test_dist_cg_solve_matches_serial(mesh24):
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    A, f, mask = dist.assemble_poisson_dist(grid)
+    res = krylov.cg(A, f, rtol=1e-10, maxiter=500)
+    assert res.converged_reason > 0
+    ref = poisson.assemble_poisson(15, 15)
+    res_ref = krylov.cg(ref.A, ref.f, rtol=1e-10, maxiter=500)
+    # identical math => identical iterate counts (deterministic reductions
+    # may differ at roundoff; allow 1)
+    assert abs(int(res.iterations) - int(res_ref.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res_ref.x), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_dist_saddle_solve(mesh24):
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    K, rhs, mask = dist.assemble_saddle_dist(grid, body_force="trig")
+    res = krylov.minres(K, rhs, rtol=1e-9, maxiter=3000)
+    assert res.converged_reason > 0
+    # compare against serial KKT
+    ref = saddle.assemble_saddle(15, 15, body_force="trig")
+    res_ref = krylov.minres(ref.K, ref.rhs, rtol=1e-9, maxiter=3000)
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]), np.asarray(res_ref.x[0]), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x[1]), np.asarray(res_ref.x[1]), rtol=1e-4, atol=1e-7
+    )
+
+
+def test_dist_constraints_match_serial(mesh24):
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    A, f, mask = dist.assemble_poisson_dist(grid)
+    Brows = dist.assemble_constraints_dist(grid, mask)
+    ref = saddle.assemble_saddle(15, 15)
+    B_ref = np.asarray(ref.B).reshape(4, 16, 16, 2)
+    np.testing.assert_allclose(np.asarray(Brows), B_ref, atol=1e-12)
+
+
+def test_dist_jacobi_pc(mesh24):
+    from saddle_point_petsc_tpu.solvers import precond
+
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    A, f, mask = dist.assemble_poisson_dist(grid)
+    d = A.diagonal()
+    M = precond.JacobiPC(1.0 / jnp.where(d == 0, 1.0, d))
+    res = krylov.cg(A, f, M=M, rtol=1e-10, maxiter=500)
+    assert res.converged_reason > 0

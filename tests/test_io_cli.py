@@ -1,0 +1,113 @@
+"""VTK writer, viewers, options database, and CLI end-to-end tests."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saddle_point_petsc_tpu.models import poisson, saddle
+from saddle_point_petsc_tpu.solvers import krylov
+from saddle_point_petsc_tpu.utils import vtk
+from saddle_point_petsc_tpu.utils.options import Options, parse_argv
+from saddle_point_petsc_tpu.utils.viewers import view_from_options
+
+
+def test_parse_argv_petsc_style():
+    o = parse_argv(
+        ["-ksp_type", "cg", "-ksp_rtol", "1e-8", "-ksp_monitor",
+         "-damping", "-0.5", "-pc_type", "jacobi"]
+    )
+    assert o == {
+        "ksp_type": "cg",
+        "ksp_rtol": "1e-8",
+        "ksp_monitor": "",
+        "damping": "-0.5",
+        "pc_type": "jacobi",
+    }
+
+
+def test_options_prefix_scoping():
+    opts = Options(["-fieldsplit_0_pc_type", "ilu", "-pc_type", "jacobi"])
+    sub = opts.scoped("fieldsplit_0_")
+    assert sub.get_str("pc_type") == "ilu"
+    assert opts.get_str("pc_type") == "jacobi"
+    assert opts.unused() == []
+
+
+def test_options_types_and_unused():
+    opts = Options({"n": 5, "tol": "1e-3", "flag": "", "dead": "1"})
+    assert opts.get_int("n") == 5
+    assert opts.get_float("tol") == 1e-3
+    assert opts.get_bool("flag") is True
+    assert opts.get_bool("missing", False) is False
+    assert opts.unused() == ["dead"]
+
+
+def test_vtk_roundtrip(tmp_path):
+    prob = poisson.assemble_poisson(3, 3)
+    res = krylov.cg(prob.A, prob.f, rtol=1e-10, maxiter=100)
+    path = tmp_path / "out.vtk"
+    vtk.write_vtk(path, prob.coords, res.x)
+    pts, polys, u = vtk.read_vtk_points(path)
+    assert pts.shape == (16, 3)
+    assert polys.shape == (9, 4)
+    np.testing.assert_allclose(pts[:, :2], np.asarray(prob.coords).reshape(-1, 2))
+    # fixes ref bugs B4/B5: the actual solution field is present
+    np.testing.assert_allclose(
+        u[:, :2], np.asarray(res.x).reshape(-1, 2), atol=1e-9
+    )
+    # geometry layout matches the reference writer: 16 points, 9 quads
+    txt = path.read_text()
+    assert "DATASET POLYDATA" in txt and "POLYGONS 9 45" in txt
+
+
+def test_viewers(tmp_path, capsys):
+    prob = poisson.assemble_poisson(2, 2)
+    opts = Options(["-f_vec_view"])
+    assert view_from_options(prob.f, opts, "f_vec_view", "f")
+    out = capsys.readouterr().out
+    assert "f =" in out
+    npz = tmp_path / "a.npz"
+    opts2 = Options(["-A_mat_view", f"{npz}:npz"])
+    assert view_from_options(prob.A, opts2, "A_mat_view", "A")
+    a = np.load(npz)["A"]
+    assert a.shape == (18, 18)
+    assert not view_from_options(prob.f, Options(), "not_set")
+
+
+def test_cli_end_to_end(tmp_path, capsys, monkeypatch):
+    from saddle_point_petsc_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(
+        ["-da_grid_x", "9", "-da_grid_y", "9", "-ksp_type", "cg",
+         "-pc_type", "sor", "-ksp_rtol", "1e-9", "-ksp_converged_reason"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CONVERGED" in out
+    assert os.path.exists(tmp_path / "test.vtk")  # ref SaddlePointProblem.c:22
+
+
+def test_cli_saddle_mode(tmp_path, capsys, monkeypatch):
+    from saddle_point_petsc_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(
+        ["-da_grid_x", "9", "-da_grid_y", "9", "-problem_type", "saddle",
+         "-body_force", "trig", "-ksp_rtol", "1e-8", "-no_vtk"]
+    )
+    assert rc == 0
+
+
+def test_saddle_trig_force_nontrivial():
+    """With the trig body force the constrained solution is nonzero and
+    the constraints hold: B u = 0."""
+    prob = saddle.assemble_saddle(12, 12, body_force="trig")
+    res = krylov.minres(prob.K, prob.rhs, rtol=1e-10, maxiter=3000)
+    assert res.converged_reason > 0
+    u = np.asarray(res.x[0]).reshape(-1)
+    assert np.linalg.norm(u) > 1e-3
+    np.testing.assert_allclose(np.asarray(prob.B) @ u, 0.0, atol=1e-8)
+    lam = np.asarray(res.x[1])
+    assert np.linalg.norm(lam) > 1e-3
