@@ -51,26 +51,25 @@ def _bw_roofline_bytes_per_s():
 
 def bench_spmv(n_nodes=1024, reps=100, dtype=jnp.float32):
     from saddle_point_petsc_tpu.models import poisson
-    from saddle_point_petsc_tpu.ops.stencil import stencil_matvec
 
     nex = n_nodes - 1
     prob = poisson.assemble_poisson(nex, nex, dtype=dtype)
-    W = prob.A.W
+    A = prob.A  # planes-layout stencil operator (the production path)
     x = prob.f
 
     @jax.jit
-    def k_spmv(W, x, reps):
+    def k_spmv(A, x, reps):
         def body(i, x):
-            y = stencil_matvec(W, x)
+            y = A.matvec_field(x)
             # keep iterations dependent & bounded
             return y / (1.0 + jnp.float32(i))
 
         out = jax.lax.fori_loop(0, reps, body, x)
         return jnp.sum(out)
 
-    _timed(k_spmv, W, x, 1)  # compile+warm
-    t1 = min(_timed(k_spmv, W, x, reps) for _ in range(3))
-    t2 = min(_timed(k_spmv, W, x, 2 * reps) for _ in range(3))
+    _timed(k_spmv, A, x, 1)  # compile+warm
+    t1 = min(_timed(k_spmv, A, x, reps) for _ in range(2))
+    t2 = min(_timed(k_spmv, A, x, 2 * reps) for _ in range(2))
     dt = max(t2 - t1, 1e-9) / reps
     ny, nx = prob.A.grid_shape
     nnz = ny * nx * 36  # stored stencil entries
@@ -91,14 +90,17 @@ def bench_time_to_rtol(n_nodes=256, dtype=jnp.float32):
 
     @jax.jit
     def solve(K, rhs):
-        M = precond.schur_pc(K.A, K.B, fact_type="diag")
+        M = precond.schur_pc(K.A, K.Bf, fact_type="diag")
         res = krylov.minres(K, rhs, M=M, rtol=rtol, maxiter=2000)
         return res.iterations, res.rnorm, res.rnorm0
 
-    t0 = _timed(solve, prob.K, prob.rhs)  # compile+warm
-    dt = min(_timed(solve, prob.K, prob.rhs) for _ in range(2))
+    _timed(solve, prob.K, prob.rhs)  # compile+warm
+    t1 = _timed(solve, prob.K, prob.rhs)
     its, rnorm, rnorm0 = jax.device_get(solve(prob.K, prob.rhs))
-    return dt, int(its), float(rnorm / rnorm0)
+    # subtract the ~constant dispatch/fetch tunnel overhead measured by a
+    # trivial fetch
+    base = _timed(lambda K, r: r[1], prob.K, prob.rhs)
+    return max(t1 - base, 1e-9), int(its), float(rnorm / rnorm0)
 
 
 def main():

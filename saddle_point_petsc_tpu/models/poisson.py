@@ -26,6 +26,7 @@ from saddle_point_petsc_tpu.ops.stencil import (
     StencilOperator,
     assemble_stencil,
     boundary_mask,
+    nodes_to_field,
     stencil_to_coo,
     stencil_zero_rows_columns,
 )
@@ -35,8 +36,9 @@ from saddle_point_petsc_tpu.ops.stencil import (
 class PoissonProblem:
     """Assembled vector-Poisson problem in stencil form.
 
-    A: StencilOperator (BCs applied, symmetric), f: (ny, nx, 2) RHS field,
-    bc_mask: (ny, nx) boundary-node mask, coords: (ny, nx, 2) node coords.
+    A: StencilOperator (BCs applied, symmetric); f: canonical dof-major
+    (2, ny, nx) RHS field; bc_mask: (ny, nx) boundary-node mask; coords:
+    (ny, nx, 2) node coords (geometry stays node-major).
     """
 
     A: StencilOperator
@@ -74,11 +76,11 @@ def assemble_poisson(nex, ney, dtype=jnp.float64, body_force="constant"):
     ke = fem.batched_element_matrices(coords, nex, ney)
     W = assemble_stencil(ke)
     bf = fem.BODY_FORCES[body_force] if isinstance(body_force, str) else body_force
-    f = assemble_rhs(coords, body_force=bf, dtype=dtype)
+    f = nodes_to_field(assemble_rhs(coords, body_force=bf, dtype=dtype))
     mask = boundary_mask(ney + 1, nex + 1)
     W = stencil_zero_rows_columns(W, mask, diag=1.0)
-    f = jnp.where(mask[:, :, None], 0.0, f)
-    return PoissonProblem(StencilOperator(W), f, mask, coords)
+    f = jnp.where(mask[None, :, :], 0.0, f)
+    return PoissonProblem(StencilOperator.from_block(W), f, mask, coords)
 
 
 def assemble_rhs(coords, body_force=None, dtype=jnp.float64):

@@ -53,7 +53,7 @@ def default_constraints(dtype=jnp.float64):
 
 
 def assemble_constraints(coords, constraint_fns=None, bc_mask=None):
-    """Assemble the dense constraint matrix B, shape (m, 2*ny*nx).
+    """Assemble the constraint rows as dof-major fields Bf (m, 2, ny, nx).
 
     B[r, dof(a,c)] = sum_e sum_p w_p detJ_p N_a(xi_p) w_c(x_p), accumulated
     with the same static-slice scatter as the RHS (models/poisson.py).
@@ -85,12 +85,11 @@ def assemble_constraints(coords, constraint_fns=None, bc_mask=None):
         field = jnp.zeros((ny, nx, 2), coords.dtype)
         for a, (aj, ai) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
             field = field.at[aj : aj + ney, ai : ai + nex].add(be[:, :, a])
-        rows.append(field)
-    B = jnp.stack([r.reshape(-1) for r in rows], axis=0)
+        rows.append(jnp.transpose(field, (2, 0, 1)))  # dof-major row field
+    Bf = jnp.stack(rows, axis=0)  # (m, 2, ny, nx)
     if bc_mask is not None:
-        dofmask = jnp.repeat(bc_mask.reshape(-1), 2)
-        B = jnp.where(dofmask[None, :], 0.0, B)
-    return B
+        Bf = jnp.where(bc_mask[None, None, :, :], 0.0, Bf)
+    return Bf
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,7 +97,7 @@ class SaddleProblem:
     """Assembled KKT system: K (u,lam) = (f, g)."""
 
     K: SaddleOperator  # [[A, B^T], [B, 0]]
-    f: Any  # (ny, nx, 2) field
+    f: Any  # canonical dof-major (2, ny, nx) field
     g: Any  # (m,)
     bc_mask: Any
     coords: Any
@@ -112,12 +111,16 @@ class SaddleProblem:
         return self.K.B
 
     @property
+    def Bf(self):
+        return self.K.Bf
+
+    @property
     def rhs(self):
         return (self.f, self.g)
 
     @property
     def grid_shape(self):
-        return self.f.shape[:2]
+        return self.f.shape[1:]
 
 
 jax.tree_util.register_pytree_node(
@@ -148,8 +151,8 @@ def assemble_saddle(
     """
     prob = assemble_poisson(nex, ney, dtype=dtype, body_force=body_force)
     fns = default_constraints(dtype)[:nconstraints]
-    B = assemble_constraints(prob.coords, fns, prob.bc_mask)
+    Bf = assemble_constraints(prob.coords, fns, prob.bc_mask)
     if g is None:
-        g = jnp.zeros((B.shape[0],), dtype)
-    K = SaddleOperator(prob.A, B)
+        g = jnp.zeros((Bf.shape[0],), dtype)
+    K = SaddleOperator(prob.A, Bf)
     return SaddleProblem(K, prob.f, g, prob.bc_mask, prob.coords)

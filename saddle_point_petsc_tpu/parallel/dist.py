@@ -31,10 +31,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from saddle_point_petsc_tpu.models import fem
-from saddle_point_petsc_tpu.ops.stencil import (
-    StencilOperator,
-    stencil_matvec_padded,
-)
+from saddle_point_petsc_tpu.ops.stencil import StencilOperator
 from saddle_point_petsc_tpu.parallel.halo import halo_add, halo_exchange
 from saddle_point_petsc_tpu.parallel.mesh import GX, GY, field_sharding
 
@@ -79,35 +76,57 @@ class DistGrid:
         return DistGrid(mesh, nex, ney, ny, nx)
 
 
-def _local_matvec(W, x):
-    """Per-device stencil matvec with halo overlap (runs inside shard_map)."""
-    my, mx = x.shape[:2]
-    xp = halo_exchange(x)  # ppermutes issued first...
-    # ...interior depends only on local x, so XLA can run it concurrently
-    y = jnp.zeros_like(x)
+def _planes_matvec_region(planes, xpT):
+    """planes (4,3,3,ry,rx), xpT (2,ry+2,rx+2) -> (2,ry,rx)."""
+    from saddle_point_petsc_tpu.ops.stencil import planes_matvec_padded
+
+    return planes_matvec_padded(planes, xpT)
+
+
+def _local_matvec(planes, x):
+    """Per-device stencil matvec with halo overlap (runs inside shard_map).
+
+    planes: local (4, 3, 3, my, mx); x: local canonical (2, my, mx).  The
+    halo ppermutes are issued first; the interior contraction depends only
+    on local x so XLA overlaps it with the exchange (BASELINE.md config 4).
+    No layout changes anywhere on the hot path.
+    """
+    my, mx = x.shape[-2:]
+    xp = halo_exchange(x)  # (2, my+2, mx+2): ppermutes issued first
     if my > 2 and mx > 2:
-        y_int = stencil_matvec_padded(W[1:-1, 1:-1], x)
-        y = y.at[1:-1, 1:-1].set(y_int)
-        y = y.at[:1, :].set(stencil_matvec_padded(W[:1], xp[:3]))
-        y = y.at[-1:, :].set(stencil_matvec_padded(W[-1:], xp[-3:]))
-        y = y.at[:, :1].set(stencil_matvec_padded(W[:, :1], xp[:, :3]))
-        y = y.at[:, -1:].set(stencil_matvec_padded(W[:, -1:], xp[:, -3:]))
+        y = jnp.zeros((2, my, mx), x.dtype)
+        # interior: needs only local x (overlappable with the ppermutes)
+        y_int = _planes_matvec_region(planes[..., 1:-1, 1:-1], x)
+        y = y.at[:, 1:-1, 1:-1].set(y_int)
+        # boundary slabs consume the halo
+        y = y.at[:, :1, :].set(
+            _planes_matvec_region(planes[..., :1, :], xp[:, :3])
+        )
+        y = y.at[:, -1:, :].set(
+            _planes_matvec_region(planes[..., -1:, :], xp[:, -3:])
+        )
+        y = y.at[:, :, :1].set(
+            _planes_matvec_region(planes[..., :, :1], xp[:, :, :3])
+        )
+        y = y.at[:, :, -1:].set(
+            _planes_matvec_region(planes[..., :, -1:], xp[:, :, -3:])
+        )
     else:
-        y = stencil_matvec_padded(W, xp)
+        y = _planes_matvec_region(planes, xp)
     return y
 
 
 @dataclasses.dataclass(frozen=True)
 class DistStencilOperator:
-    """Stencil operator whose W/x are (gy, gx)-sharded; matvec under
+    """Stencil operator whose planes/x are (gy, gx)-sharded; matvec under
     shard_map with ppermute halo exchange."""
 
-    W: Any  # (ny, nx, 3, 3, 2, 2) sharded
+    planes: Any  # (4, 3, 3, ny, nx) sharded on the grid dims
     mesh: Mesh  # static
 
     @property
     def grid_shape(self):
-        return self.W.shape[:2]
+        return self.planes.shape[-2:]
 
     @property
     def n(self):
@@ -118,29 +137,37 @@ class DistStencilOperator:
         fn = jax.shard_map(
             _local_matvec,
             mesh=self.mesh,
-            in_specs=(P(GY, GX), P(GY, GX)),
-            out_specs=P(GY, GX),
+            in_specs=(P(None, None, None, GY, GX), P(None, GY, GX)),
+            out_specs=P(None, GY, GX),
         )
-        return fn(self.W, x)
+        return fn(self.planes, x)
 
     def __call__(self, x):
         return self.matvec_field(x)
 
+    @property
+    def W(self):
+        """Block-layout view (setup/tests only — materializes a copy)."""
+        from saddle_point_petsc_tpu.ops.stencil import planes_to_block
+
+        return planes_to_block(self.planes)
+
     def diagonal(self):
-        d = self.W[:, :, 1, 1]
-        return jnp.stack([d[..., 0, 0], d[..., 1, 1]], axis=-1)
+        """diag(A) as a canonical (2, ny, nx) field."""
+        return jnp.stack([self.planes[0, 1, 1], self.planes[3, 1, 1]])
 
     def diag_blocks(self):
-        return self.W[:, :, 1, 1]
+        d = self.planes[:, 1, 1]
+        return jnp.transpose(d.reshape(2, 2, *d.shape[1:]), (2, 3, 0, 1))
 
     def as_local(self) -> StencilOperator:
         """Gathered single-device view (tests/host post-processing)."""
-        return StencilOperator(jax.device_get(self.W))
+        return StencilOperator(jax.device_get(self.planes))
 
 
 jax.tree_util.register_pytree_node(
     DistStencilOperator,
-    lambda o: ((o.W,), (o.mesh,)),
+    lambda o: ((o.planes,), (o.mesh,)),
     lambda m, d: DistStencilOperator(*d, *m),
 )
 
@@ -152,19 +179,25 @@ class DistSaddleOperator:
     the partitioner)."""
 
     A: DistStencilOperator
-    Brows: Any  # (m, ny, nx, 2)
+    Bf: Any  # (m, 2, ny, nx) canonical constraint row fields
 
     def __call__(self, v):
         u, lam = v
         au = self.A(u)
-        btl = jnp.einsum("m,myxc->yxc", lam, self.Brows)
-        bu = jnp.einsum("myxc,yxc->m", self.Brows, u)
+        btl = jnp.einsum("m,mcyx->cyx", lam, self.Bf)
+        bu = jnp.einsum("mcyx,cyx->m", self.Bf, u)
         return (au + btl, bu)
+
+    @property
+    def B(self):
+        """Dense (m, n) natural-ordering view (tests/interop)."""
+        m = self.Bf.shape[0]
+        return jnp.transpose(self.Bf, (0, 2, 3, 1)).reshape(m, -1)
 
 
 jax.tree_util.register_pytree_node(
     DistSaddleOperator,
-    lambda o: ((o.A, o.Brows), None),
+    lambda o: ((o.A, o.Bf), None),
     lambda _, d: DistSaddleOperator(*d),
 )
 
@@ -207,23 +240,27 @@ def _local_assemble(grid: DistGrid, dtype, body_force):
         )  # (my, mx, 4, 2)
         ke = fem.element_stiffness(corners)  # (my, mx, 8, 8)
         ke = jnp.where(valid[:, :, None, None], ke, 0.0)
-        # accumulate into padded local stencil (ghost ring for +1 spill)
-        Wp = jnp.zeros((my + 2, mx + 2, 3, 3, 2, 2), dtype)
+        # accumulate directly into padded local PLANES (ghost ring for the
+        # +1 spill); spatial dims trailing to match halo_add/matvec layout
+        Wp = jnp.zeros((4, 3, 3, my + 2, mx + 2), dtype)
         kb = ke.reshape(my, mx, 4, 2, 4, 2)
         for a, (aj, ai) in enumerate(_NODE_OFF):
             for b, (bj, bi) in enumerate(_NODE_OFF):
                 sj, si = bj - aj + 1, bi - ai + 1
+                contrib = jnp.transpose(
+                    kb[:, :, a, :, b, :], (2, 3, 0, 1)
+                ).reshape(4, my, mx)
                 Wp = Wp.at[
-                    1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx, sj, si
-                ].add(kb[:, :, a, :, b, :])
-        W = halo_add(Wp)
-        # rhs
+                    :, sj, si, 1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx
+                ].add(contrib)
+        W = halo_add(Wp)  # (4, 3, 3, my, mx)
+        # rhs (canonical dof-major)
         fe = fem.element_rhs(corners, bf).reshape(my, mx, 4, 2)
         fe = jnp.where(valid[:, :, None, None], fe, 0.0)
-        fp = jnp.zeros((my + 2, mx + 2, 2), dtype)
+        fp = jnp.zeros((2, my + 2, mx + 2), dtype)
         for a, (aj, ai) in enumerate(_NODE_OFF):
-            fp = fp.at[1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx].add(
-                fe[:, :, a]
+            fp = fp.at[:, 1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx].add(
+                jnp.transpose(fe[:, :, a], (2, 0, 1))
             )
         f = halo_add(fp)
         # masks: Dirichlet boundary of the TRUE grid, plus padding nodes
@@ -235,19 +272,17 @@ def _local_assemble(grid: DistGrid, dtype, body_force):
         ) & ~inactive
         mask = bc | inactive  # eliminate both
         # symmetric elimination with neighbor masks from halo exchange
-        maskp = halo_exchange(mask.astype(dtype))[..., None] > 0.5
-        W = jnp.where(mask[:, :, None, None, None, None], 0.0, W)
+        maskp = halo_exchange(mask.astype(dtype)) > 0.5
+        W = jnp.where(mask[None, None, None], 0.0, W)
         for dj in range(3):
             for di in range(3):
-                nbr = maskp[dj : dj + my, di : di + mx, 0]
-                W = W.at[:, :, dj, di].multiply(
-                    jnp.where(nbr, 0.0, 1.0)[:, :, None, None]
-                )
-        eye = jnp.eye(2, dtype=dtype)
-        W = W.at[:, :, 1, 1].set(
-            jnp.where(mask[:, :, None, None], eye, W[:, :, 1, 1])
-        )
-        f = jnp.where(mask[:, :, None], 0.0, f)
+                nbr = maskp[dj : dj + my, di : di + mx]
+                W = W.at[:, dj, di].multiply(jnp.where(nbr, 0.0, 1.0)[None])
+        # unit diagonal at masked nodes (planes 0/3 are the (c,c) blocks)
+        one = jnp.ones((), dtype)
+        W = W.at[0, 1, 1].set(jnp.where(mask, one, W[0, 1, 1]))
+        W = W.at[3, 1, 1].set(jnp.where(mask, one, W[3, 1, 1]))
+        f = jnp.where(mask[None], 0.0, f)
         return W, f, mask, bc
 
     return local
@@ -271,14 +306,19 @@ def assemble_poisson_dist(
         local,
         mesh=grid.mesh,
         in_specs=(P(),),
-        out_specs=(P(GY, GX), P(GY, GX), P(GY, GX), P(GY, GX)),
+        out_specs=(
+            P(None, None, None, GY, GX),
+            P(None, GY, GX),
+            P(GY, GX),
+            P(GY, GX),
+        ),
     )
-    W, f, mask, bc = fn(jnp.zeros((1,), dtype))
-    return DistStencilOperator(W, grid.mesh), f, mask
+    planes, f, mask, bc = fn(jnp.zeros((1,), dtype))
+    return DistStencilOperator(planes, grid.mesh), f, mask
 
 
 def assemble_constraints_dist(grid: DistGrid, mask, dtype=jnp.float64):
-    """Distributed constraint row assembly -> (4, ny, nx, 2) sharded.
+    """Distributed constraint row assembly -> (4, 2, ny, nx) sharded.
 
     Same functionals as models/saddle.py (barycentre + first moments),
     assembled per-device with halo_add."""
@@ -317,20 +357,20 @@ def assemble_constraints_dist(grid: DistGrid, mask, dtype=jnp.float64):
             wcomp = jnp.stack([wx, wy], axis=-1)
             be = jnp.einsum("...p,pa,...pc->...ac", w * det, ni, wcomp)
             be = jnp.where(valid[:, :, None, None], be, 0.0)
-            bp = jnp.zeros((my + 2, mx + 2, 2), dtype)
+            bp = jnp.zeros((2, my + 2, mx + 2), dtype)
             for a, (aj, ai) in enumerate(_NODE_OFF):
                 bp = bp.at[
-                    1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx
-                ].add(be[:, :, a])
+                    :, 1 + aj : 1 + aj + my, 1 + ai : 1 + ai + mx
+                ].add(jnp.transpose(be[:, :, a], (2, 0, 1)))
             rows.append(halo_add(bp))
-        B = jnp.stack(rows, axis=0)  # (4, my, mx, 2)
-        return jnp.where(mask_l[None, :, :, None], 0.0, B)
+        B = jnp.stack(rows, axis=0)  # (4, 2, my, mx)
+        return jnp.where(mask_l[None, None], 0.0, B)
 
     fn = jax.shard_map(
         local,
         mesh=grid.mesh,
         in_specs=(P(GY, GX),),
-        out_specs=P(None, GY, GX),
+        out_specs=P(None, None, GY, GX),
     )
     return fn(mask)
 
@@ -338,7 +378,7 @@ def assemble_constraints_dist(grid: DistGrid, mask, dtype=jnp.float64):
 def assemble_saddle_dist(grid: DistGrid, dtype=jnp.float64, body_force="trig"):
     """Distributed KKT system (A, B rows, rhs) — BASELINE.md configs 4-5."""
     A, f, mask = assemble_poisson_dist(grid, dtype, body_force)
-    Brows = assemble_constraints_dist(grid, mask, dtype)
-    K = DistSaddleOperator(A, Brows)
-    g = jnp.zeros((Brows.shape[0],), dtype)
+    Bf = assemble_constraints_dist(grid, mask, dtype)
+    K = DistSaddleOperator(A, Bf)
+    g = jnp.zeros((Bf.shape[0],), dtype)
     return K, (f, g), mask

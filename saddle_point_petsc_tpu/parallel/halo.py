@@ -11,7 +11,10 @@ The reference's stencil-width-1 box ghost region (DMDACreate2d,
   (PETSc DMLocalToGlobalBegin/End(ADD_VALUES), ref Discretization.c:218-219)
   — used after element assembly.
 
-Both are two-phase (x then y), so the 8-neighbor box exchange needs only 4
+The spatial dims are the LAST two axes (matching the canonical dof-major
+field layout (2, ny, nx) and the planes operator layout (4, 3, 3, ny, nx)),
+so the 128-lane axis is the grid x-dimension throughout.  Both transfers
+are two-phase (x then y), so the 8-neighbor box exchange needs only 4
 ppermutes and corners ride for free in the second phase.  Missing sources
 at the global boundary leave zeros (ppermute semantics), which matches the
 zero-padding convention of ops/stencil.py.  All functions must run inside
@@ -37,32 +40,31 @@ def _shift_perm(n, direction):
 
 
 def halo_exchange(x, axes=(GY, GX)):
-    """Pad a local (my, mx, ...) block with a 1-ring of neighbor values.
+    """Pad a local (..., my, mx) block with a 1-ring of neighbor values.
 
-    Returns (my+2, mx+2, ...); global-boundary ghosts are zero.
+    Returns (..., my+2, mx+2); global-boundary ghosts are zero.
     """
     ay, ax = axes
     ny_dev = lax.axis_size(ay)
     nx_dev = lax.axis_size(ax)
-    # phase 1: x-direction (columns)
-    right_edge = x[:, -1:]
-    left_edge = x[:, :1]
-    # my right edge becomes my right neighbor's left ghost
+    # phase 1: x-direction (last axis)
+    right_edge = x[..., :, -1:]
+    left_edge = x[..., :, :1]
     left_ghost = lax.ppermute(right_edge, ax, _shift_perm(nx_dev, +1))
     right_ghost = lax.ppermute(left_edge, ax, _shift_perm(nx_dev, -1))
-    xw = jnp.concatenate([left_ghost, x, right_ghost], axis=1)
-    # phase 2: y-direction (rows incl. the new ghost columns -> corners)
-    top_edge = xw[-1:]
-    bot_edge = xw[:1]
+    xw = jnp.concatenate([left_ghost, x, right_ghost], axis=-1)
+    # phase 2: y-direction (second-to-last axis), incl. new ghost cols
+    top_edge = xw[..., -1:, :]
+    bot_edge = xw[..., :1, :]
     bot_ghost = lax.ppermute(top_edge, ay, _shift_perm(ny_dev, +1))
     top_ghost = lax.ppermute(bot_edge, ay, _shift_perm(ny_dev, -1))
-    return jnp.concatenate([bot_ghost, xw, top_ghost], axis=0)
+    return jnp.concatenate([bot_ghost, xw, top_ghost], axis=-2)
 
 
 def halo_add(xp, axes=(GY, GX)):
     """Adjoint of halo_exchange: fold the 1-ring ghost accumulations of a
-    padded (my+2, mx+2, ...) block back onto their owners; returns the
-    owned (my, mx, ...) block.
+    padded (..., my+2, mx+2) block back onto their owners; returns the
+    owned (..., my, mx) block.
 
     Two-phase in reverse order (y then x) so corner contributions route
     through the edge ghosts correctly.
@@ -70,19 +72,18 @@ def halo_add(xp, axes=(GY, GX)):
     ay, ax = axes
     ny_dev = lax.axis_size(ay)
     nx_dev = lax.axis_size(ax)
-    # phase 1: y-direction: my top ghost row belongs to my upper neighbor's
-    # bottom owned row
-    top_ghost = xp[-1:]
-    bot_ghost = xp[:1]
+    # phase 1: y-direction
+    top_ghost = xp[..., -1:, :]
+    bot_ghost = xp[..., :1, :]
     from_below = lax.ppermute(top_ghost, ay, _shift_perm(ny_dev, +1))
     from_above = lax.ppermute(bot_ghost, ay, _shift_perm(ny_dev, -1))
-    xw = xp[1:-1]
-    xw = xw.at[:1].add(from_below).at[-1:].add(from_above)
+    xw = xp[..., 1:-1, :]
+    xw = xw.at[..., :1, :].add(from_below).at[..., -1:, :].add(from_above)
     # phase 2: x-direction on the y-folded block
-    right_ghost = xw[:, -1:]
-    left_ghost = xw[:, :1]
+    right_ghost = xw[..., :, -1:]
+    left_ghost = xw[..., :, :1]
     from_left = lax.ppermute(right_ghost, ax, _shift_perm(nx_dev, +1))
     from_right = lax.ppermute(left_ghost, ax, _shift_perm(nx_dev, -1))
-    x = xw[:, 1:-1]
-    x = x.at[:, :1].add(from_left).at[:, -1:].add(from_right)
+    x = xw[..., :, 1:-1]
+    x = x.at[..., :, :1].add(from_left).at[..., :, -1:].add(from_right)
     return x

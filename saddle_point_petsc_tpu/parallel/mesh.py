@@ -57,9 +57,12 @@ def make_mesh(ndev=None, shape=None, ny=None, nx=None, devices=None) -> Mesh:
     return Mesh(dev_array, (GY, GX))
 
 
-def field_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for (ny, nx, ...) node fields: block over (gy, gx)."""
-    return NamedSharding(mesh, P(GY, GX))
+def field_sharding(mesh: Mesh, ndim=3) -> NamedSharding:
+    """Sharding for arrays whose LAST TWO dims are the (ny, nx) grid —
+    the canonical layout for fields (2, ny, nx), masks (ny, nx), operator
+    planes (4, 3, 3, ny, nx) and constraint rows (m, 2, ny, nx)."""
+    spec = P(*([None] * (ndim - 2) + [GY, GX]))
+    return NamedSharding(mesh, spec)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -67,8 +70,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_field(x, mesh: Mesh):
-    """Place a global (ny, nx, ...) array with (gy, gx)-blocked sharding."""
-    return jax.device_put(x, field_sharding(mesh))
+    """Place an array (grid dims last) with (gy, gx)-blocked sharding."""
+    return jax.device_put(x, field_sharding(mesh, jnp.ndim(x)))
 
 
 def hierarchical_psum(x, axes=(GY, GX)):

@@ -69,7 +69,7 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
                 rtol=opts.get_float("fieldsplit_inner_ksp_rtol", 1e-2),
                 maxiter=opts.get_int("fieldsplit_inner_ksp_max_it", 10),
             )
-        return precond.schur_pc(A.A, A.B, inner_solve, fact_type=fact)
+        return precond.schur_pc(A.A, A.Bf, inner_solve, fact_type=fact)
 
     if pc_type == "jacobi":
         return precond.jacobi(A)

@@ -37,27 +37,32 @@ from saddle_point_petsc_tpu.solvers import precond
 
 
 def prolong(xc, ny, nx):
-    """Bilinear interpolation coarse (nyc,nxc,2) -> fine (ny,nx,2);
-    ny = 2*nyc-1, nx = 2*nxc-1 (nested node grids)."""
-    xf = jnp.zeros((ny, nx) + xc.shape[2:], xc.dtype)
-    xf = xf.at[0::2, 0::2].set(xc)
-    xf = xf.at[0::2, 1::2].set(0.5 * (xc[:, :-1] + xc[:, 1:]))
-    xf = xf.at[1::2, 0::2].set(0.5 * (xc[:-1] + xc[1:]))
-    xf = xf.at[1::2, 1::2].set(
-        0.25 * (xc[:-1, :-1] + xc[:-1, 1:] + xc[1:, :-1] + xc[1:, 1:])
+    """Bilinear interpolation on the last two (spatial) dims:
+    (..., nyc, nxc) -> (..., ny, nx) with ny = 2*nyc-1, nx = 2*nxc-1
+    (nested node grids).  Works on canonical (2, nyc, nxc) fields."""
+    xf = jnp.zeros(xc.shape[:-2] + (ny, nx), xc.dtype)
+    xf = xf.at[..., 0::2, 0::2].set(xc)
+    xf = xf.at[..., 0::2, 1::2].set(0.5 * (xc[..., :, :-1] + xc[..., :, 1:]))
+    xf = xf.at[..., 1::2, 0::2].set(0.5 * (xc[..., :-1, :] + xc[..., 1:, :]))
+    xf = xf.at[..., 1::2, 1::2].set(
+        0.25
+        * (
+            xc[..., :-1, :-1]
+            + xc[..., :-1, 1:]
+            + xc[..., 1:, :-1]
+            + xc[..., 1:, 1:]
+        )
     )
     return xf
 
 
 def restrict(rf, nyc, nxc):
-    """Exact adjoint of `prolong`: fine (ny,nx,2) -> coarse (nyc,nxc,2)."""
-    ny, nx = rf.shape[:2]
-    fp = jnp.pad(rf, ((1, 1), (1, 1)) + ((0, 0),) * (rf.ndim - 2))
+    """Exact adjoint of `prolong`: (..., ny, nx) -> (..., nyc, nxc)."""
+    ny, nx = rf.shape[-2:]
+    fp = jnp.pad(rf, ((0, 0),) * (rf.ndim - 2) + ((1, 1), (1, 1)))
 
     def F(dj, di):
-        return fp[
-            1 + dj : 1 + dj + ny : 2, 1 + di : 1 + di + nx : 2
-        ]
+        return fp[..., 1 + dj : 1 + dj + ny : 2, 1 + di : 1 + di + nx : 2]
 
     return (
         F(0, 0)
@@ -75,21 +80,22 @@ def galerkin_coarse_stencil(op: StencilOperator):
     """
     ny, nx = op.grid_shape
     nyc, nxc = (ny + 1) // 2, (nx + 1) // 2
-    Wc = jnp.zeros((nyc, nxc, 3, 3, 2, 2), op.W.dtype)
+    Wc = jnp.zeros((nyc, nxc, 3, 3, 2, 2), op.planes.dtype)
     for pj in range(4):
         for pi in range(4):
             for d in range(2):
-                xc = jnp.zeros((nyc, nxc, 2), op.W.dtype)
-                xc = xc.at[pj::4, pi::4, d].set(1.0)
+                xc = jnp.zeros((2, nyc, nxc), op.planes.dtype)
+                xc = xc.at[d, pj::4, pi::4].set(1.0)
                 rc = restrict(op.matvec_field(prolong(xc, ny, nx)), nyc, nxc)
+                rc_nodes = jnp.transpose(rc, (1, 2, 0))  # (nyc, nxc, 2)
                 for dJ in (-1, 0, 1):
                     for dI in (-1, 0, 1):
                         sj = (pj + dJ) % 4
                         si = (pi + dI) % 4
                         Wc = Wc.at[
                             sj::4, si::4, 1 - dJ, 1 - dI, :, d
-                        ].set(rc[sj::4, si::4, :])
-    return StencilOperator(Wc)
+                        ].set(rc_nodes[sj::4, si::4, :])
+    return StencilOperator.from_block(Wc)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,28 +118,39 @@ class MGPC:
     cycles: int = 1
 
     def __call__(self, r):
-        shape = None
+        from saddle_point_petsc_tpu.ops.stencil import (
+            field_to_flat,
+            flat_to_field,
+        )
+
+        flat = False
         ny, nx = self.levels[0].A.grid_shape
         if r.ndim == 1:
-            shape = (-1,)
-            r = r.reshape(ny, nx, 2)
+            flat = True
+            r = flat_to_field(r, ny, nx)
         z = jnp.zeros_like(r)
         for _ in range(self.cycles):
             z = z + self._vcycle(0, r - self.levels[0].A.matvec_field(z))
-        return z.reshape(-1) if shape else z
+        return field_to_flat(z) if flat else z
 
     def _vcycle(self, k, r):
+        from saddle_point_petsc_tpu.ops.stencil import (
+            field_to_flat,
+            flat_to_field,
+        )
+
         if k == len(self.levels):
-            flat = r.reshape(-1)
+            ny, nx = r.shape[-2:]
+            flat = field_to_flat(r)  # coarsest chol is in natural ordering
             z = jax.scipy.linalg.cho_solve((self.coarse_chol, True), flat)
-            return z.reshape(r.shape)
+            return flat_to_field(z, ny, nx)
         lvl = self.levels[k]
         z = lvl.smoother(r)  # pre-smooth from zero initial guess
         res = r - lvl.A.matvec_field(z)
-        nyc = (r.shape[0] + 1) // 2
-        nxc = (r.shape[1] + 1) // 2
+        nyc = (r.shape[-2] + 1) // 2
+        nxc = (r.shape[-1] + 1) // 2
         zc = self._vcycle(k + 1, restrict(res, nyc, nxc))
-        z = z + prolong(zc, r.shape[0], r.shape[1])
+        z = z + prolong(zc, r.shape[-2], r.shape[-1])
         z = z + lvl.smoother(r - lvl.A.matvec_field(z))  # post-smooth
         return z
 
@@ -195,7 +212,7 @@ class _DampedPBJacobi:
 
     def __call__(self, r):
         return self.omega * jnp.einsum(
-            "...cd,...d->...c", self.inv_blocks, r
+            "yxcd,dyx->cyx", self.inv_blocks, r
         )
 
 

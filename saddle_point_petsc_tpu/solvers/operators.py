@@ -40,29 +40,34 @@ jax.tree_util.register_pytree_node(
 class SaddleOperator:
     """KKT operator [[A, B^T], [B, 0]] acting on (u, lam) tuples.
 
-    A: callable (field or flat) SPD operator on u;
-    B: dense (m, n) constraint matrix acting on *flattened* u.
-    The reference declared B as a 4 x nCols MATMPIAIJ
-    (SaddlePointProblem.c:48-50); at m=4 rows a dense row-block is the
-    right TPU layout — B u is a tall-skinny matvec (one psum), B^T lam a
-    rank-4 broadcast.
+    A: SPD operator on canonical (2, ny, nx) fields; Bf: constraint rows
+    stored as m dof-major fields (m, 2, ny, nx).  The reference declared B
+    as a 4 x nCols MATMPIAIJ (SaddlePointProblem.c:48-50); at m=4 rows a
+    dense row-block in the field layout is the right TPU shape — B u is one
+    contraction (psum when sharded), B^T lam a rank-4 broadcast, and no
+    layout changes touch the hot path.
     """
 
     A: Any
-    B: Any  # (m, n)
+    Bf: Any  # (m, 2, ny, nx)
 
     def __call__(self, v):
         u, lam = v
-        ushape = u.shape
-        uflat = u.reshape(-1)
         au = self.A(u)
-        btl = (self.B.T @ lam).reshape(ushape)
-        return (au + btl, self.B @ uflat)
+        btl = jnp.einsum("m,mcyx->cyx", lam, self.Bf)
+        bu = jnp.einsum("mcyx,cyx->m", self.Bf, u)
+        return (au + btl, bu)
+
+    @property
+    def B(self):
+        """Dense (m, n) natural-ordering view (tests/interop)."""
+        m = self.Bf.shape[0]
+        return jnp.transpose(self.Bf, (0, 2, 3, 1)).reshape(m, -1)
 
 
 jax.tree_util.register_pytree_node(
     SaddleOperator,
-    lambda o: ((o.A, o.B), None),
+    lambda o: ((o.A, o.Bf), None),
     lambda _, d: SaddleOperator(*d),
 )
 

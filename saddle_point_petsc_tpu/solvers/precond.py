@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from saddle_point_petsc_tpu.ops import sparse as sp
-from saddle_point_petsc_tpu.ops.stencil import StencilOperator, stencil_matvec
+from saddle_point_petsc_tpu.ops.stencil import (
+    StencilOperator,
+    field_to_flat,
+    flat_to_field,
+)
 
 
 def _register(cls, fields, meta=()):
@@ -101,6 +105,9 @@ class PBJacobiPC:
             rb = r.reshape(-1, b)
             ib = self.inv_blocks.reshape(-1, b, b)
             return jnp.einsum("ncd,nd->nc", ib, rb).reshape(-1)
+        if r.ndim == 3 and r.shape[0] == self.inv_blocks.shape[-1]:
+            # canonical dof-major field (2, ny, nx)
+            return jnp.einsum("yxcd,dyx->cyx", self.inv_blocks, r)
         return jnp.einsum("...cd,...d->...c", self.inv_blocks, r)
 
 
@@ -135,9 +142,14 @@ class BlockJacobiPC:
     n: int  # true vector length (blocks may be padded)
 
     def __call__(self, r):
-        shape = None
-        if not isinstance(r, jnp.ndarray) or r.ndim != 1:
-            shape = r.shape
+        field_shape = None
+        if r.ndim == 3 and r.shape[0] == 2:
+            # canonical dof-major field -> natural flat (matches the CSR
+            # row ordering the blocks were extracted from)
+            field_shape = r.shape
+            r = field_to_flat(r)
+        elif r.ndim != 1:
+            field_shape = ("reshape",) + tuple(r.shape)
             r = r.reshape(-1)
         nb, bs, _ = self.chol.shape
         pad = nb * bs - self.n
@@ -146,7 +158,11 @@ class BlockJacobiPC:
             ..., 0
         ]
         z = z.reshape(-1)[: self.n]
-        return z.reshape(shape) if shape is not None else z
+        if field_shape is None:
+            return z
+        if field_shape[0] == "reshape":
+            return z.reshape(field_shape[1:])
+        return flat_to_field(z, field_shape[1], field_shape[2])
 
 
 _register(BlockJacobiPC, ("chol",), ("n",))
@@ -263,9 +279,13 @@ class ILU0PC:
     sweeps: int = 6
 
     def __call__(self, r):
-        shape = None
-        if r.ndim != 1:
-            shape = r.shape
+        field = None
+        if r.ndim == 3 and r.shape[0] == 2:
+            # canonical dof-major field -> natural flat (CSR row ordering)
+            field = r.shape
+            r = field_to_flat(r)
+        elif r.ndim != 1:
+            field = ("reshape",) + tuple(r.shape)
             r = r.reshape(-1)
         if self.sweeps > 0:
             # (I + L) y = r, unit diagonal: y <- r - L y
@@ -280,7 +300,11 @@ class ILU0PC:
         else:
             y = _scan_lower_solve(self.ell_L, r)
             out = _scan_upper_solve(self.ell_U, self.inv_udiag, y)
-        return out.reshape(shape) if shape is not None else out
+        if field is None:
+            return out
+        if field[0] == "reshape":
+            return out.reshape(field[1:])
+        return flat_to_field(out, field[1], field[2])
 
 
 _register(ILU0PC, ("L", "U", "inv_udiag", "ell_L", "ell_U"), ("sweeps",))
@@ -356,19 +380,19 @@ class RedBlackSORPC:
     sweeps: int = 1
 
     def __call__(self, r):
-        shape = None
+        flat = False
         ny, nx = self.op.grid_shape
         if r.ndim == 1:
-            shape = (-1,)
-            r = r.reshape(ny, nx, 2)
+            flat = True
+            r = flat_to_field(r, ny, nx)
         j = jnp.arange(ny)[:, None]
         i = jnp.arange(nx)[None, :]
-        red = ((i + j) % 2 == 0)[:, :, None]
+        red = ((i + j) % 2 == 0)[None, :, :]
         z = jnp.zeros_like(r)
 
         def half(z, color_mask):
             res = r - self.op.matvec_field(z)
-            dz = jnp.einsum("yxcd,yxd->yxc", self.inv_blocks, res)
+            dz = jnp.einsum("yxcd,dyx->cyx", self.inv_blocks, res)
             return z + self.omega * jnp.where(color_mask, dz, 0.0)
 
         for _ in range(self.sweeps):
@@ -376,7 +400,7 @@ class RedBlackSORPC:
             z = half(z, ~red)
             z = half(z, ~red)  # symmetric sweep (SSOR ordering)
             z = half(z, red)
-        return z.reshape(-1) if shape else z
+        return field_to_flat(z) if flat else z
 
 
 _register(RedBlackSORPC, ("op", "inv_blocks"), ("omega", "sweeps"))
@@ -464,59 +488,79 @@ class SchurPC:
     """
 
     inner_solve: Any
-    B: Any  # (m, n)
+    Bf: Any  # (m, 2, ny, nx) constraint row fields (canonical layout)
     S_inv: Any  # (m, m) dense inverse of the (sign-definite) Schur approx
     fact_type: str = "full"
 
+    def _Bu(self, u):
+        return jnp.einsum("mcyx,cyx->m", self.Bf, u)
+
+    def _Bt(self, lam):
+        return jnp.einsum("m,mcyx->cyx", lam, self.Bf)
+
     def __call__(self, r):
         ru, rlam = r
-        ushape = ru.shape
-        ruf = ru.reshape(-1)
-
-        def Ainv(x_flat):
-            return self.inner_solve(x_flat.reshape(ushape)).reshape(-1)
-
+        Ainv = self.inner_solve
         if self.fact_type == "diag":
             # MINRES needs an SPD PC: the lambda block uses +(B D^-1 B^T)^-1
             # = -(S_inv), since S = -B D^-1 B^T is negative definite.
-            zu = Ainv(ruf)
-            zlam = -(self.S_inv @ rlam)
-            return (zu.reshape(ushape), zlam)
+            return (Ainv(ru), -(self.S_inv @ rlam))
         if self.fact_type == "lower":
-            zu = Ainv(ruf)
-            zlam = self.S_inv @ (rlam - self.B @ zu)
-            return (zu.reshape(ushape), zlam)
+            zu = Ainv(ru)
+            zlam = self.S_inv @ (rlam - self._Bu(zu))
+            return (zu, zlam)
         if self.fact_type == "upper":
             zlam = self.S_inv @ rlam
-            zu = Ainv(ruf - self.B.T @ zlam)
-            return (zu.reshape(ushape), zlam)
+            zu = Ainv(ru - self._Bt(zlam))
+            return (zu, zlam)
         # full: L-D-U application
-        yu = Ainv(ruf)
-        zlam = self.S_inv @ (rlam - self.B @ yu)
-        zu = yu - Ainv(self.B.T @ zlam)
-        return (zu.reshape(ushape), zlam)
+        yu = Ainv(ru)
+        zlam = self.S_inv @ (rlam - self._Bu(yu))
+        zu = yu - Ainv(self._Bt(zlam))
+        return (zu, zlam)
 
 
-_register(SchurPC, ("inner_solve", "B", "S_inv"), ("fact_type",))
+_register(SchurPC, ("inner_solve", "Bf", "S_inv"), ("fact_type",))
 
 
-def schur_pc(A, B, inner_solve=None, fact_type="full") -> SchurPC:
-    """Build the Schur PC with S = -B diag(A)^{-1} B^T (dense m x m)."""
-    if isinstance(A, StencilOperator):
-        d = A.diagonal().reshape(-1)
-    elif isinstance(A, sp.CSR):
-        d = sp.csr_extract_diagonal(A)
-    else:
-        d = A.diagonal()
+def schur_pc(A, Bf, inner_solve=None, fact_type="full") -> SchurPC:
+    """Build the Schur PC with S = -B diag(A)^{-1} B^T (dense m x m).
+
+    A: operator exposing .diagonal() as a (2, ny, nx) field;
+    Bf: constraint rows (m, 2, ny, nx)."""
+    d = A.diagonal()
     dinv = 1.0 / jnp.where(d == 0, 1.0, d)
-    S = -(B * dinv[None, :]) @ B.T  # (m, m), negative definite
+    S = -jnp.einsum("mcyx,cyx,kcyx->mk", Bf, dinv, Bf)  # negative definite
     S_inv = jnp.linalg.inv(S)
     if inner_solve is None:
-        if isinstance(A, StencilOperator):
-            inner_solve = jacobi(A)
-        else:
-            inner_solve = JacobiPC(dinv)
-    return SchurPC(inner_solve, B, S_inv, fact_type)
+        inner_solve = JacobiPC(dinv)
+    return SchurPC(inner_solve, Bf, S_inv, fact_type)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalarStencilOp:
+    """Scalar 9-point stencil operator for one (c, d) dof block, stored in
+    the fast planes layout (3, 3, ny, nx) — exactly one plane group of
+    StencilOperator.planes."""
+
+    Ws: Any  # (3, 3, ny, nx)
+
+    def __call__(self, x):
+        ny, nx = self.Ws.shape[-2:]
+        xp = jnp.pad(x, ((1, 1), (1, 1)))
+        y = jnp.zeros_like(x)
+        for dj in range(3):
+            for di in range(3):
+                y = y + self.Ws[dj, di] * xp[dj : dj + ny, di : di + nx]
+        return y
+
+    def diagonal(self):
+        return self.Ws[1, 1]
+
+
+jax.tree_util.register_pytree_node(
+    ScalarStencilOp, lambda o: ((o.Ws,), None), lambda _, d: ScalarStencilOp(*d)
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -525,79 +569,47 @@ class FieldSplitPC:
     (Ux/Uy), exploiting the interleaved-dof layout the reference sets up
     via DMDASetFieldName (ref Discretization.c:23-24).
 
-    Splits a stencil operator into two scalar 9-point operators and applies
-    a sub-PC per field.  fs_type: "additive" (block-diag) or
-    "multiplicative" (block Gauss-Seidel over fields).
+    The four dof-blocks are stored as scalar plane stencils at setup;
+    fs_type: "additive" (block-diag) or "multiplicative" (block
+    Gauss-Seidel over fields, applying the A10 coupling).
     """
 
-    op: StencilOperator
+    A10: ScalarStencilOp  # coupling field0 -> field1 rows
     sub0: Any  # PC for field 0 system
     sub1: Any
     fs_type: str = "additive"
 
     def __call__(self, r):
-        shape = None
-        ny, nx = self.op.grid_shape
+        flat = False
         if r.ndim == 1:
-            shape = (-1,)
-            r = r.reshape(ny, nx, 2)
-        r0, r1 = r[..., 0], r[..., 1]
+            ny, nx = self.A10.Ws.shape[-2:]
+            flat = True
+            r = flat_to_field(r, ny, nx)
+        r0, r1 = r[0], r[1]
         z0 = self.sub0(r0)
         if self.fs_type == "multiplicative":
-            # r1 <- r1 - A10 z0
-            W01 = self.op.W[..., 1, 0]  # coupling field0 -> field1 rows
-            ny_, nx_ = ny, nx
-            zp = jnp.pad(z0, ((1, 1), (1, 1)))
-            a10z = jnp.zeros_like(r1)
-            for dj in range(3):
-                for di in range(3):
-                    a10z = a10z + self.op.W[:, :, dj, di, 1, 0] * zp[
-                        dj : dj + ny_, di : di + nx_
-                    ]
-            r1 = r1 - a10z
+            r1 = r1 - self.A10(z0)
         z1 = self.sub1(r1)
-        z = jnp.stack([z0, z1], axis=-1)
-        return z.reshape(-1) if shape else z
+        z = jnp.stack([z0, z1], axis=0)
+        return field_to_flat(z) if flat else z
 
 
-_register(FieldSplitPC, ("op", "sub0", "sub1"), ("fs_type",))
-
-
-@dataclasses.dataclass(frozen=True)
-class ScalarStencilOp:
-    """Scalar 9-point stencil operator extracted from one (c, c) dof block."""
-
-    Ws: Any  # (ny, nx, 3, 3)
-
-    def __call__(self, x):
-        ny, nx = self.Ws.shape[:2]
-        xp = jnp.pad(x, ((1, 1), (1, 1)))
-        y = jnp.zeros_like(x)
-        for dj in range(3):
-            for di in range(3):
-                y = y + self.Ws[:, :, dj, di] * xp[dj : dj + ny, di : di + nx]
-        return y
-
-    def diagonal(self):
-        return self.Ws[:, :, 1, 1]
-
-
-jax.tree_util.register_pytree_node(
-    ScalarStencilOp, lambda o: ((o.Ws,), None), lambda _, d: ScalarStencilOp(*d)
-)
+_register(FieldSplitPC, ("A10", "sub0", "sub1"), ("fs_type",))
 
 
 def fieldsplit(op: StencilOperator, sub="jacobi", fs_type="additive") -> FieldSplitPC:
     subs = []
     for c in range(2):
-        s_op = ScalarStencilOp(op.W[..., c, c])
+        s_op = ScalarStencilOp(op.planes[2 * c + c])  # (c, c) diag block
         if sub == "jacobi":
             d = s_op.diagonal()
             inv = 1.0 / jnp.where(d == 0, 1.0, d)
             subs.append(JacobiPC(inv))
         else:
             raise ValueError(f"fieldsplit sub-PC {sub!r} unsupported")
-    return FieldSplitPC(op, subs[0], subs[1], fs_type)
+    return FieldSplitPC(
+        ScalarStencilOp(op.planes[2]), subs[0], subs[1], fs_type
+    )
 
 
 # ---------------------------------------------------------------------------

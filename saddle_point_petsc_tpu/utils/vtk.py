@@ -32,6 +32,11 @@ def write_vtk(path, coords, u=None, title="saddle_point_petsc_tpu output"):
     """
     coords = np.asarray(coords)
     ny, nx = coords.shape[:2]
+    if u is not None:
+        u = np.asarray(u)
+        if u.ndim == 3 and u.shape == (2, ny, nx):
+            # canonical dof-major field -> node-major for point data
+            u = np.transpose(u, (1, 2, 0))
     npoints = ny * nx
     ney, nex = ny - 1, nx - 1
     lines = []

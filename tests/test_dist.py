@@ -18,6 +18,8 @@ from saddle_point_petsc_tpu.parallel.mesh import (
 )
 from saddle_point_petsc_tpu.solvers import krylov
 
+from helpers import fflat
+
 
 @pytest.fixture(scope="module")
 def mesh24():
@@ -33,50 +35,53 @@ def test_decide_process_grid():
 
 
 def test_halo_exchange_matches_zero_pad(mesh24, rng):
-    """Sharded halo_exchange must reproduce jnp.pad(x, 1) blockwise."""
-    x = rng.standard_normal((8, 16, 2))
+    """Sharded halo_exchange must reproduce zero padding blockwise.
+    Spatial dims are the LAST two (canonical dof-major layout)."""
+    x = rng.standard_normal((2, 8, 16))
     xs = shard_field(jnp.asarray(x), mesh24)
 
     fn = jax.jit(
         jax.shard_map(
             lambda xl: halo.halo_exchange(xl),
             mesh=mesh24,
-            in_specs=(P(GY, GX),),
-            out_specs=P(GY, GX),
+            in_specs=(P(None, GY, GX),),
+            out_specs=P(None, GY, GX),
         )
     )
-    out = np.asarray(fn(xs))  # blocks concatenated: (2*6, 4*6, 2)
-    xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
-    # reconstruct each device block and compare
+    out = np.asarray(fn(xs))  # blocks concatenated: (2, 2*6, 4*6)
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1)))
     my, mx = 4, 4
     for pj in range(2):
         for pi in range(4):
-            blk = out[pj * 6 : (pj + 1) * 6, pi * 6 : (pi + 1) * 6]
-            expect = xp[pj * my : pj * my + my + 2, pi * mx : pi * mx + mx + 2]
+            blk = out[:, pj * 6 : (pj + 1) * 6, pi * 6 : (pi + 1) * 6]
+            expect = xp[
+                :, pj * my : pj * my + my + 2, pi * mx : pi * mx + mx + 2
+            ]
             np.testing.assert_allclose(blk, expect)
 
 
 def test_halo_add_is_adjoint_of_exchange(mesh24, rng):
     """<halo_exchange(x), y> == <x, halo_add(y)> — the VecScatter
     forward/reverse pair must be exact adjoints."""
-    x = jnp.asarray(rng.standard_normal((8, 16, 2)))
-    y = jnp.asarray(rng.standard_normal((8 + 2 * 2, 16 + 4 * 2, 2)))  # padded blocks
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)))
+    # padded blocks: (2, py*(my+2), px*(mx+2)) = (2, 12, 24)
+    y = jnp.asarray(rng.standard_normal((2, 12, 24)))
 
     ex = jax.jit(
         jax.shard_map(
             halo.halo_exchange, mesh=mesh24,
-            in_specs=(P(GY, GX),), out_specs=P(GY, GX),
+            in_specs=(P(None, GY, GX),), out_specs=P(None, GY, GX),
         )
     )
     ad = jax.jit(
         jax.shard_map(
             halo.halo_add, mesh=mesh24,
-            in_specs=(P(GY, GX),), out_specs=P(GY, GX),
+            in_specs=(P(None, GY, GX),), out_specs=P(None, GY, GX),
         )
     )
     xs = shard_field(x, mesh24)
     ys = jax.device_put(
-        y, jax.sharding.NamedSharding(mesh24, P(GY, GX))
+        y, jax.sharding.NamedSharding(mesh24, P(None, GY, GX))
     )
     lhs = float(jnp.vdot(ex(xs), ys))
     rhs = float(jnp.vdot(xs, ad(ys)))
@@ -92,7 +97,7 @@ def test_dist_assembly_matches_serial(mesh24, nex, ney):
     W = np.asarray(A.W)[:nyn, :nxn]
     np.testing.assert_allclose(W, np.asarray(ref.A.W), atol=1e-12)
     np.testing.assert_allclose(
-        np.asarray(f)[:nyn, :nxn], np.asarray(ref.f), atol=1e-13
+        np.asarray(f)[:, :nyn, :nxn], np.asarray(ref.f), atol=1e-13
     )
     # padded nodes are identity rows with zero rhs
     fW = np.asarray(A.W)
@@ -107,7 +112,7 @@ def test_dist_matvec_matches_serial(mesh24, rng):
     grid = dist.DistGrid.create(15, 15, mesh24)
     A, f, mask = dist.assemble_poisson_dist(grid)
     ref = poisson.assemble_poisson(15, 15)
-    x = rng.standard_normal((16, 16, 2))
+    x = rng.standard_normal((2, 16, 16))
     xs = shard_field(jnp.asarray(x), mesh24)
     y_dist = np.asarray(jax.jit(A.matvec_field)(xs))
     y_ref = np.asarray(ref.A.matvec_field(jnp.asarray(x)))
@@ -148,10 +153,9 @@ def test_dist_saddle_solve(mesh24):
 def test_dist_constraints_match_serial(mesh24):
     grid = dist.DistGrid.create(15, 15, mesh24)
     A, f, mask = dist.assemble_poisson_dist(grid)
-    Brows = dist.assemble_constraints_dist(grid, mask)
+    Bf = dist.assemble_constraints_dist(grid, mask)
     ref = saddle.assemble_saddle(15, 15)
-    B_ref = np.asarray(ref.B).reshape(4, 16, 16, 2)
-    np.testing.assert_allclose(np.asarray(Brows), B_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Bf), np.asarray(ref.Bf), atol=1e-12)
 
 
 def test_dist_jacobi_pc(mesh24):

@@ -11,6 +11,8 @@ from saddle_point_petsc_tpu.utils import vtk
 from saddle_point_petsc_tpu.utils.options import Options, parse_argv
 from saddle_point_petsc_tpu.utils.viewers import view_from_options
 
+from helpers import fflat
+
 
 def test_parse_argv_petsc_style():
     o = parse_argv(
@@ -54,7 +56,7 @@ def test_vtk_roundtrip(tmp_path):
     np.testing.assert_allclose(pts[:, :2], np.asarray(prob.coords).reshape(-1, 2))
     # fixes ref bugs B4/B5: the actual solution field is present
     np.testing.assert_allclose(
-        u[:, :2], np.asarray(res.x).reshape(-1, 2), atol=1e-9
+        u[:, :2], fflat(res.x).reshape(-1, 2), atol=1e-9
     )
     # geometry layout matches the reference writer: 16 points, 9 quads
     txt = path.read_text()
@@ -106,7 +108,7 @@ def test_saddle_trig_force_nontrivial():
     prob = saddle.assemble_saddle(12, 12, body_force="trig")
     res = krylov.minres(prob.K, prob.rhs, rtol=1e-10, maxiter=3000)
     assert res.converged_reason > 0
-    u = np.asarray(res.x[0]).reshape(-1)
+    u = fflat(res.x[0])
     assert np.linalg.norm(u) > 1e-3
     np.testing.assert_allclose(np.asarray(prob.B) @ u, 0.0, atol=1e-8)
     lam = np.asarray(res.x[1])

@@ -11,11 +11,13 @@ from saddle_point_petsc_tpu.ops import sparse
 from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
 from saddle_point_petsc_tpu.solvers import krylov
 
+from helpers import fflat
+
 
 def _problem(nex=8, ney=8):
     prob = poisson.assemble_poisson(nex, ney)
     dense = np.asarray(sparse.coo_to_csr(stencil_to_coo(prob.A.W)).todense())
-    x_star = np.linalg.solve(dense, np.asarray(prob.f).reshape(-1))
+    x_star = np.linalg.solve(dense, fflat(prob.f))
     return prob, dense, x_star
 
 
@@ -24,8 +26,8 @@ def test_solvers_reach_rtol_1em8(name):
     prob, dense, x_star = _problem()
     res = krylov.SOLVERS[name](prob.A, prob.f, rtol=1e-10, maxiter=500)
     assert res.converged_reason > 0
-    x = np.asarray(res.x).reshape(-1)
-    rel = np.linalg.norm(dense @ x - np.asarray(prob.f).reshape(-1)) / (
+    x = fflat(res.x)
+    rel = np.linalg.norm(dense @ x - fflat(prob.f)) / (
         np.linalg.norm(np.asarray(prob.f))
     )
     assert rel < 1e-8
@@ -83,9 +85,7 @@ def test_fgmres_with_variable_preconditioner(rng):
 
     res = krylov.fgmres(prob.A, prob.f, M=M, rtol=1e-10, maxiter=100, restart=20)
     assert res.converged_reason > 0
-    np.testing.assert_allclose(
-        np.asarray(res.x).reshape(-1), x_star, rtol=1e-5, atol=1e-9
-    )
+    np.testing.assert_allclose(fflat(res.x), x_star, rtol=1e-5, atol=1e-9)
     # inner acceleration must reduce outer iterations vs no PC
     res0 = krylov.fgmres(prob.A, prob.f, rtol=1e-10, maxiter=200, restart=20)
     assert int(res.iterations) < int(res0.iterations)
@@ -134,7 +134,7 @@ def test_solvers_run_under_jit():
     def run(A, b):
         return krylov.cg(A, b, rtol=1e-10, maxiter=200).x
 
-    x = np.asarray(run(prob.A, prob.f)).reshape(-1)
+    x = fflat(run(prob.A, prob.f))
     np.testing.assert_allclose(x, x_star, rtol=1e-6, atol=1e-10)
 
 
@@ -149,8 +149,8 @@ def test_chebyshev_and_richardson_smoke():
     d = prob.A.diagonal()
     M = lambda r: r / d
     res = krylov.chebyshev(prob.A, prob.f, M=M, lmin=0.05, lmax=1.7, maxiter=60)
-    x = np.asarray(res.x).reshape(-1)
-    r = np.linalg.norm(dense @ x - np.asarray(prob.f).reshape(-1))
+    x = fflat(res.x)
+    r = np.linalg.norm(dense @ x - fflat(prob.f))
     assert r < 1e-2 * np.linalg.norm(np.asarray(prob.f))
     res2 = krylov.richardson(prob.A, prob.f, M=M, scale=0.9, maxiter=50)
     assert float(res2.rnorm) < float(res2.rnorm0)

@@ -11,6 +11,8 @@ from saddle_point_petsc_tpu.solvers import krylov, precond
 from saddle_point_petsc_tpu.solvers.ksp import KSP, make_pc
 from saddle_point_petsc_tpu.utils.options import Options
 
+from helpers import fflat
+
 
 @pytest.fixture(scope="module")
 def prob16():
@@ -28,8 +30,8 @@ def _solve_rel_residual(prob, dense, M, solver="cg", **kw):
     res = krylov.SOLVERS[solver](
         prob.A, prob.f, M=M, rtol=1e-8, maxiter=500, **kw
     )
-    x = np.asarray(res.x).reshape(-1)
-    f = np.asarray(prob.f).reshape(-1)
+    x = fflat(res.x)
+    f = fflat(prob.f)
     rel = np.linalg.norm(dense @ x - f) / np.linalg.norm(f)
     return res, rel
 
@@ -126,15 +128,15 @@ def test_galerkin_coarse_matches_dense_triple_product():
     Ac = galerkin_coarse_stencil(prob.A)
     ny, nx = prob.A.grid_shape
     nyc, nxc = (ny + 1) // 2, (nx + 1) // 2
-    # dense P via probing
+    # dense P via probing (natural ordering on both sides)
+    from helpers import ffield
+
     nc = nyc * nxc * 2
     P = np.zeros((ny * nx * 2, nc))
     for k in range(nc):
         e = np.zeros(nc)
         e[k] = 1
-        P[:, k] = np.asarray(
-            prolong(jnp.asarray(e.reshape(nyc, nxc, 2)), ny, nx)
-        ).reshape(-1)
+        P[:, k] = fflat(prolong(jnp.asarray(ffield(e, nyc, nxc)), ny, nx))
     Af = np.asarray(sp.coo_to_csr(stencil_to_coo(prob.A.W)).todense())
     expect = P.T @ Af @ P
     got = np.asarray(sp.coo_to_csr(stencil_to_coo(Ac.W)).todense())
@@ -150,6 +152,6 @@ def test_ksp_from_options(prob16, dense16):
     assert ksp.ksp_type == "cg" and ksp.pc_type == "sor"
     res = ksp.solve(prob16.f)
     assert res.converged_reason > 0
-    x = np.asarray(res.x).reshape(-1)
-    f = np.asarray(prob16.f).reshape(-1)
+    x = fflat(res.x)
+    f = fflat(prob16.f)
     assert np.linalg.norm(dense16 @ x - f) / np.linalg.norm(f) < 1e-7

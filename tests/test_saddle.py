@@ -11,6 +11,8 @@ from saddle_point_petsc_tpu.solvers import krylov, precond
 from saddle_point_petsc_tpu.solvers.ksp import make_pc
 from saddle_point_petsc_tpu.utils.options import Options
 
+from helpers import fflat, ffield
+
 
 @pytest.fixture(scope="module")
 def kkt16():
@@ -41,24 +43,24 @@ def test_constraint_integrates_exactly():
     """B rows are Q1-consistent integrals: applying row 0 to u=Ux=1 (on the
     full grid, ignoring BC zeroing) gives |Omega| = 1 exactly."""
     prob = saddle.assemble_saddle(8, 8)
-    B_full = saddle.assemble_constraints(prob.coords, bc_mask=None)
-    ones_x = np.zeros((9, 9, 2))
-    ones_x[..., 0] = 1.0
-    val = float(B_full[0] @ jnp.asarray(ones_x.reshape(-1)))
+    Bf_full = saddle.assemble_constraints(prob.coords, bc_mask=None)
+    ones_x = np.zeros((2, 9, 9))
+    ones_x[0] = 1.0
+    val = float(jnp.einsum("cyx,cyx->", Bf_full[0], jnp.asarray(ones_x)))
     np.testing.assert_allclose(val, 1.0, rtol=1e-12)
     # volume-x row on Ux=1 integrates x over the unit square: 1/2
-    val2 = float(B_full[2] @ jnp.asarray(ones_x.reshape(-1)))
+    val2 = float(jnp.einsum("cyx,cyx->", Bf_full[2], jnp.asarray(ones_x)))
     np.testing.assert_allclose(val2, 0.5, rtol=1e-12)
 
 
 def test_kkt_operator_matches_dense(kkt16, rng):
     kd = _dense_kkt(kkt16)
     n = np.asarray(kkt16.B).shape[1]
-    u = rng.standard_normal((17, 17, 2))
+    u = rng.standard_normal((2, 17, 17))
     lam = rng.standard_normal(4)
     yu, ylam = kkt16.K((jnp.asarray(u), jnp.asarray(lam)))
-    expect = kd @ np.concatenate([u.reshape(-1), lam])
-    got = np.concatenate([np.asarray(yu).reshape(-1), np.asarray(ylam)])
+    expect = kd @ np.concatenate([fflat(u), lam])
+    got = np.concatenate([fflat(yu), np.asarray(ylam)])
     np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-10)
 
 
@@ -66,35 +68,25 @@ def test_minres_solves_kkt(kkt16):
     res = krylov.minres(kkt16.K, kkt16.rhs, rtol=1e-10, maxiter=2000)
     assert res.converged_reason > 0
     kd = _dense_kkt(kkt16)
-    rhs = np.concatenate(
-        [np.asarray(kkt16.f).reshape(-1), np.asarray(kkt16.g)]
-    )
-    x = np.concatenate(
-        [np.asarray(res.x[0]).reshape(-1), np.asarray(res.x[1])]
-    )
+    rhs = np.concatenate([fflat(kkt16.f), np.asarray(kkt16.g)])
+    x = np.concatenate([fflat(res.x[0]), np.asarray(res.x[1])])
     rel = np.linalg.norm(kd @ x - rhs) / np.linalg.norm(rhs)
     assert rel < 1e-7
     # constraints enforced: B u = g = 0
     np.testing.assert_allclose(
-        np.asarray(kkt16.B) @ np.asarray(res.x[0]).reshape(-1),
-        0.0,
-        atol=1e-7,
+        np.asarray(kkt16.B) @ fflat(res.x[0]), 0.0, atol=1e-7
     )
 
 
 @pytest.mark.parametrize("fact", ["diag", "lower", "upper", "full"])
 def test_schur_pc_variants(kkt16, fact):
     solver = krylov.minres if fact == "diag" else krylov.fgmres
-    M = precond.schur_pc(kkt16.A, kkt16.B, fact_type=fact)
+    M = precond.schur_pc(kkt16.A, kkt16.Bf, fact_type=fact)
     res = solver(kkt16.K, kkt16.rhs, M=M, rtol=1e-9, maxiter=1500)
     assert res.converged_reason > 0
     kd = _dense_kkt(kkt16)
-    rhs = np.concatenate(
-        [np.asarray(kkt16.f).reshape(-1), np.asarray(kkt16.g)]
-    )
-    x = np.concatenate(
-        [np.asarray(res.x[0]).reshape(-1), np.asarray(res.x[1])]
-    )
+    rhs = np.concatenate([fflat(kkt16.f), np.asarray(kkt16.g)])
+    x = np.concatenate([fflat(res.x[0]), np.asarray(res.x[1])])
     assert np.linalg.norm(kd @ x - rhs) / np.linalg.norm(rhs) < 1e-6
 
 
@@ -104,7 +96,7 @@ def test_schur_with_mg_inner_fast(kkt16):
     from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
 
     inner = mg_pc(kkt16.A)
-    M = precond.schur_pc(kkt16.A, kkt16.B, inner_solve=inner, fact_type="full")
+    M = precond.schur_pc(kkt16.A, kkt16.Bf, inner_solve=inner, fact_type="full")
     res = krylov.fgmres(kkt16.K, kkt16.rhs, M=M, rtol=1e-9, maxiter=100)
     assert res.converged_reason > 0
     assert int(res.iterations) <= 30

@@ -3,6 +3,8 @@ BC elimination, SPD structure."""
 import jax.numpy as jnp
 import numpy as np
 
+from helpers import fflat, ffield
+
 from saddle_point_petsc_tpu.models import fem, poisson
 from saddle_point_petsc_tpu.ops import sparse
 from saddle_point_petsc_tpu.ops.stencil import (
@@ -27,23 +29,20 @@ def test_stencil_equals_csr_assembly():
             np.asarray(csr.todense()),
             atol=1e-12,
         )
-        np.testing.assert_allclose(
-            np.asarray(prob.f).reshape(-1), np.asarray(f), atol=1e-14
-        )
+        np.testing.assert_allclose(fflat(prob.f), np.asarray(f), atol=1e-14)
 
 
 def test_stencil_matvec_matches_dense(rng):
     prob = poisson.assemble_poisson(5, 4)
     dense = _dense_from_stencil(prob.A.W)
     ny, nx = prob.grid_shape
-    x = rng.standard_normal((ny, nx, 2))
-    y = np.asarray(prob.A.matvec_field(jnp.asarray(x)))
-    np.testing.assert_allclose(
-        y.reshape(-1), dense @ x.reshape(-1), atol=1e-12
-    )
-    # flat interface
-    y2 = np.asarray(prob.A.matvec(jnp.asarray(x.reshape(-1))))
-    np.testing.assert_allclose(y2, dense @ x.reshape(-1), atol=1e-12)
+    x = rng.standard_normal((2, ny, nx))
+    y = prob.A.matvec_field(jnp.asarray(x))
+    np.testing.assert_allclose(fflat(y), dense @ fflat(x), atol=1e-12)
+    # flat (natural-ordering) interface
+    xf = rng.standard_normal(dense.shape[0])
+    y2 = np.asarray(prob.A.matvec(jnp.asarray(xf)))
+    np.testing.assert_allclose(y2, dense @ xf, atol=1e-12)
 
 
 def test_bc_preserves_spd():
@@ -70,5 +69,5 @@ def test_bc_rows_are_identity():
 def test_diag_extraction():
     prob = poisson.assemble_poisson(4, 4)
     dense = _dense_from_stencil(prob.A.W)
-    d = np.asarray(prob.A.diagonal()).reshape(-1)
+    d = fflat(prob.A.diagonal())
     np.testing.assert_allclose(d, np.diag(dense), atol=1e-12)
