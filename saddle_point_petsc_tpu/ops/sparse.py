@@ -412,3 +412,105 @@ def bsr_extract_diag_blocks(bsr: BSR):
         rows,
         num_segments=mb,
     )
+
+
+# ---------------------------------------------------------------------------
+# DIA (diagonal/banded) format — the TPU-native general-ish sparse format
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DIA:
+    """Diagonal storage: data[d, i] = A[i, i + offsets[d]].
+
+    SpMV is a sum of elementwise products with *shifted* x — no gathers, no
+    index arrays in the inner loop: the layout a TPU wants for banded
+    matrices.  FEM/stencil matrices are naturally banded; arbitrary sparse
+    matrices become banded after RCM reordering (utils/native.py `rcm`).
+    Offsets are static (part of the pytree aux data).
+    """
+
+    data: Any  # (ndiag, n)
+    offsets: tuple  # static ints
+    shape: tuple
+
+    @property
+    def nnz(self):
+        return self.data.size
+
+    def todense(self):
+        m, n = self.shape
+        out = jnp.zeros((m, n), self.data.dtype)
+        i = jnp.arange(m)
+        for d, off in enumerate(self.offsets):
+            valid = (i + off >= 0) & (i + off < n)
+            out = out.at[i, jnp.clip(i + off, 0, n - 1)].add(
+                jnp.where(valid, self.data[d], 0.0)
+            )
+        return out
+
+    def matvec(self, x):
+        return dia_matvec(self, x)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self):
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0)]
+        return jnp.zeros((self.shape[0],), self.data.dtype)
+
+
+_pytree_dataclass(DIA, ("data",), ("offsets", "shape"))
+
+
+def csr_to_dia(csr: CSR, rcm_reorder=False):
+    """Host-side CSR -> DIA conversion; optionally RCM-permutes first to
+    minimize bandwidth (returns (dia, perm) — perm is None without RCM).
+
+    A^(perm)[i,j] = A[perm[i], perm[j]]; solves of the permuted system
+    relate by x = x_perm[inv_perm].
+
+    Note: use RCM only for genuinely unstructured patterns — on matrices
+    from structured grids the natural ordering is already optimally banded
+    and RCM *increases* the number of distinct diagonals (measured 21 -> 103
+    on a 13x13 grid operator).
+    """
+    a = csr_to_scipy(csr)
+    perm = None
+    if rcm_reorder:
+        try:
+            from saddle_point_petsc_tpu.utils import native
+
+            perm = native.rcm(a.indptr, a.indices, a.shape[0])
+        except Exception:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = reverse_cuthill_mckee(a, symmetric_mode=True)
+        a = a[perm][:, perm].tocsr()
+    d = a.todia()
+    offsets = tuple(int(o) for o in d.offsets)
+    n = a.shape[0]
+    # scipy dia stores data[d, j] = A[j - off, j] (column-indexed);
+    # convert to row-indexed data[d, i] = A[i, i + off]
+    data = np.zeros((len(offsets), n), d.data.dtype)
+    for k, off in enumerate(offsets):
+        if off >= 0:
+            data[k, : n - off] = d.data[k, off:]
+        else:
+            data[k, -off:] = d.data[k, : n + off]
+    return DIA(jnp.asarray(data), offsets, a.shape), perm
+
+
+def dia_matvec(dia: DIA, x):
+    """y = A @ x via shifted elementwise products (XLA path)."""
+    n = dia.shape[0]
+    y = jnp.zeros_like(x)
+    for k, off in enumerate(dia.offsets):
+        if off == 0:
+            y = y + dia.data[k] * x
+        elif off > 0:
+            y = y.at[: n - off].add(dia.data[k, : n - off] * x[off:])
+        else:
+            y = y.at[-off:].add(dia.data[k, -off:] * x[: n + off])
+    return y

@@ -1,0 +1,86 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path validated on
+TPU by benchmarks) + DIA format tests."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from saddle_point_petsc_tpu.models import poisson
+from saddle_point_petsc_tpu.ops import sparse as sp
+from saddle_point_petsc_tpu.ops.pallas.spmv import (
+    dia_spmv_pallas,
+    stencil_spmv_pallas,
+)
+from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
+
+from helpers import fflat
+
+
+def test_dia_format_roundtrip(rng):
+    a = sps.random(30, 30, density=0.2, random_state=0, format="csr")
+    a = a + sps.eye(30)
+    csr = sp.scipy_to_csr(a)
+    dia, perm = sp.csr_to_dia(csr)
+    assert perm is None
+    np.testing.assert_allclose(
+        np.asarray(dia.todense()), a.toarray(), atol=1e-13
+    )
+    x = rng.standard_normal(30)
+    np.testing.assert_allclose(
+        np.asarray(dia.matvec(jnp.asarray(x))), a @ x, atol=1e-12
+    )
+
+
+def test_dia_rcm_reduces_bandwidth(rng):
+    # random sparse SPD-ish pattern; RCM must not increase #diagonals
+    a = sps.random(60, 60, density=0.06, random_state=2, format="csr")
+    a = a + a.T + sps.eye(60)
+    csr = sp.scipy_to_csr(a.tocsr())
+    dia0, _ = sp.csr_to_dia(csr)
+    dia1, perm = sp.csr_to_dia(csr, rcm_reorder=True)
+    assert perm is not None
+    assert len(dia1.offsets) <= len(dia0.offsets)
+    # permuted matvec consistency: A x == P^T (A_perm (P x))
+    x = rng.standard_normal(60)
+    y_perm = np.asarray(dia1.matvec(jnp.asarray(x[perm])))
+    y = np.empty_like(y_perm)
+    y[perm] = y_perm
+    np.testing.assert_allclose(y, a @ x, atol=1e-12)
+
+
+def test_stencil_pallas_kernel_matches_xla(rng):
+    prob = poisson.assemble_poisson(15, 15)  # 16x16 nodes
+    xT = jnp.asarray(rng.standard_normal((2, 16, 16)))
+    y_ref = np.asarray(prob.A.matvec_field(xT))
+    y_pal = np.asarray(
+        stencil_spmv_pallas(prob.A.planes, xT, bm=8, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_pallas_nondivisible_block(rng):
+    prob = poisson.assemble_poisson(12, 12)  # 13x13 nodes, bm fallback
+    xT = jnp.asarray(rng.standard_normal((2, 13, 13)))
+    y_ref = np.asarray(prob.A.matvec_field(xT))
+    y_pal = np.asarray(
+        stencil_spmv_pallas(prob.A.planes, xT, bm=8, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_dia_pallas_kernel_matches_xla(rng):
+    prob = poisson.assemble_poisson(7, 7)
+    csr = sp.csr_compact(sp.coo_to_csr(stencil_to_coo(prob.A.W)))
+    dia, _ = sp.csr_to_dia(csr)
+    x = jnp.asarray(rng.standard_normal(csr.shape[0]))
+    y_ref = np.asarray(dia.matvec(x))
+    y_pal = np.asarray(
+        dia_spmv_pallas(dia.data, x, dia.offsets, bn=32, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        y_ref,
+        np.asarray(csr.todense()) @ np.asarray(x),
+        rtol=1e-10,
+        atol=1e-12,
+    )
