@@ -1,0 +1,210 @@
+"""BASELINE.md benchmark configurations 1-4 (one JSON line each).
+
+  1. 64x64 saddle point, MINRES + block-Jacobi PC      (CPU, per BASELINE)
+  2. same system, fieldsplit Schur (diag(A)), GMRES outer
+  3. 256x256 block (BSR-equivalent 2x2 stencil) FGMRES + inner-CG Schur,
+     1 TPU chip
+  4. ~1M-row KKT row/patch-partitioned, halo-overlap SpMV (device mesh;
+     runs on however many chips are attached — 1 locally, N on a pod)
+
+Config 5 (10M+ rows, N>=2 hosts) uses the same code path as 4 over a
+multi-host mesh; it cannot be measured on this single-chip environment
+(functional validation: tests/test_dist.py + __graft_entry__.dryrun).
+
+Usage: python benchmarks/run_configs.py [--cpu] [--configs 1,2,3,4]
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _sync(out)
+    return time.perf_counter() - t0, out
+
+
+def _report(name, seconds, its, rrel, extra=None):
+    out = {
+        "config": name,
+        "seconds": seconds,
+        "iterations": its,
+        "rel_rnorm": rrel,
+        "device": str(jax.devices()[0]),
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
+
+
+def config1():
+    """64x64 MINRES + block-Jacobi (BASELINE config 1)."""
+    from saddle_point_petsc_tpu.models import saddle
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+
+    prob = saddle.assemble_saddle(64, 64, body_force="trig")
+    Mu = precond.block_jacobi_stencil(prob.A, nblocks=8)
+    Si = precond.schur_pc(prob.A, prob.Bf, fact_type="diag")
+
+    def M(r):
+        ru, rlam = r
+        return (Mu(ru), -(Si.S_inv @ rlam))
+
+    def solve(K, rhs):
+        return krylov.minres(K, rhs, M=M, rtol=1e-8, maxiter=3000)
+
+    run = jax.jit(solve)
+    _timed(run, prob.K, prob.rhs)
+    dt, res = _timed(run, prob.K, prob.rhs)
+    _report(
+        "1:64x64-minres-bjacobi", dt, int(res.iterations),
+        float(res.rnorm / res.rnorm0),
+    )
+
+
+def config2():
+    """Same system, fieldsplit Schur (diag(A)-based), GMRES outer."""
+    from saddle_point_petsc_tpu.models import saddle
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+
+    prob = saddle.assemble_saddle(64, 64, body_force="trig")
+    M = precond.schur_pc(prob.A, prob.Bf, fact_type="full")
+
+    def solve(K, rhs):
+        return krylov.gmres(K, rhs, M=M, rtol=1e-8, maxiter=2000, restart=30)
+
+    run = jax.jit(solve)
+    _timed(run, prob.K, prob.rhs)
+    dt, res = _timed(run, prob.K, prob.rhs)
+    _report(
+        "2:64x64-gmres-schur", dt, int(res.iterations),
+        float(res.rnorm / res.rnorm0),
+    )
+
+
+def config3(dtype=None):
+    """256x256 block operator, FGMRES + inner CG on the Schur A-solve."""
+    from saddle_point_petsc_tpu.models import saddle
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+
+    dtype = dtype or (
+        jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
+    )
+    rtol = 1e-5 if dtype == jnp.float32 else 1e-8
+    prob = saddle.assemble_saddle(256, 256, dtype=dtype, body_force="trig")
+    inner = precond.KSPInnerPC(
+        prob.A, precond.jacobi(prob.A), solver="cg", rtol=1e-2, maxiter=10
+    )
+    M = precond.schur_pc(prob.A, prob.Bf, inner_solve=inner, fact_type="full")
+
+    def solve(K, rhs):
+        return krylov.fgmres(K, rhs, M=M, rtol=rtol, maxiter=500, restart=30)
+
+    run = jax.jit(solve)
+    _timed(run, prob.K, prob.rhs)
+    dt, res = _timed(run, prob.K, prob.rhs)
+    _report(
+        "3:256x256-fgmres-innercg", dt, int(res.iterations),
+        float(res.rnorm / res.rnorm0), {"dtype": str(dtype.__name__)},
+    )
+
+
+def config3_mg():
+    """256x256 with a multigrid inner A-solve — the fast path."""
+    from saddle_point_petsc_tpu.models import saddle
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+    from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
+
+    dtype = (
+        jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
+    )
+    rtol = 1e-5 if dtype == jnp.float32 else 1e-8
+    prob = saddle.assemble_saddle(256, 256, dtype=dtype, body_force="trig")
+    inner = mg_pc(prob.A)
+    M = precond.schur_pc(prob.A, prob.Bf, inner_solve=inner, fact_type="full")
+
+    def solve(K, rhs):
+        return krylov.fgmres(K, rhs, M=M, rtol=rtol, maxiter=200, restart=30)
+
+    run = jax.jit(solve)
+    _timed(run, prob.K, prob.rhs)
+    dt, res = _timed(run, prob.K, prob.rhs)
+    _report(
+        "3mg:256x256-fgmres-mgschur", dt, int(res.iterations),
+        float(res.rnorm / res.rnorm0), {"dtype": str(dtype.__name__)},
+    )
+
+
+def config4():
+    """~1M-row KKT, patch-partitioned over the attached device mesh,
+    halo-overlap SpMV (BASELINE config 4; per-chip numbers on 1 chip)."""
+    from saddle_point_petsc_tpu.parallel import dist
+    from saddle_point_petsc_tpu.parallel.mesh import make_mesh
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+
+    dtype = (
+        jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
+    )
+    rtol = 1e-5 if dtype == jnp.float32 else 1e-8
+    n = 704 if jax.devices()[0].platform == "cpu" else 704
+    mesh = make_mesh()
+    grid = dist.DistGrid.create(n - 1, n - 1, mesh)
+
+    def setup_and_solve(_):
+        K, rhs, mask = dist.assemble_saddle_dist(
+            grid, dtype=dtype, body_force="trig"
+        )
+        d = K.A.diagonal()
+        Mu = precond.JacobiPC(1.0 / jnp.where(d == 0, 1.0, d))
+
+        def M(r):
+            return (Mu(r[0]), r[1])
+
+        return krylov.minres(K, rhs, M=M, rtol=rtol, maxiter=3000)
+
+    run = jax.jit(setup_and_solve)
+    _timed(run, jnp.zeros((1,), dtype))
+    dt, res = _timed(run, jnp.zeros((1,), dtype))
+    nrows = grid.ny * grid.nx * 2 + 4
+    nnz = grid.ny * grid.nx * 36
+    _report(
+        "4:dist-kkt-halo-overlap", dt, int(res.iterations),
+        float(res.rnorm / res.rnorm0),
+        {
+            "rows": nrows,
+            "devices": len(jax.devices()),
+            "nnz_per_s": nnz * max(int(res.iterations), 1) / dt,
+        },
+    )
+
+
+def main():
+    if "--cpu" in sys.argv or os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    which = None
+    for a in sys.argv[1:]:
+        if a.startswith("--configs"):
+            which = a.split("=", 1)[1] if "=" in a else None
+    sel = (which or "1,2,3,3mg,4").split(",")
+    fns = {"1": config1, "2": config2, "3": config3, "3mg": config3_mg,
+           "4": config4}
+    for k in sel:
+        fns[k.strip()]()
+
+
+if __name__ == "__main__":
+    main()

@@ -156,3 +156,49 @@ def assemble_saddle(
         g = jnp.zeros((Bf.shape[0],), dtype)
     K = SaddleOperator(prob.A, Bf)
     return SaddleProblem(K, prob.f, g, prob.bc_mask, prob.coords)
+
+
+def solve_saddle_point_problem(
+    nex=3,
+    ney=3,
+    opts=None,
+    constraints=True,
+    body_force="constant",
+    vtk_path=None,
+    dtype=jnp.float64,
+):
+    """High-level driver mirroring the reference entry point.
+
+    ref: SolveSaddlePointProblem(nx, ny) (src/SaddlePointProblem.c:8-25):
+    grid setup -> assemble -> options-configured KSP solve -> optional
+    viewers -> optional VTK.  `constraints=False` reproduces the reference
+    binary's actual behavior (constraint block disabled); True solves the
+    intended full KKT system.  Returns (u_field, KrylovResult, problem).
+    """
+    from saddle_point_petsc_tpu.models.poisson import assemble_poisson
+    from saddle_point_petsc_tpu.solvers.ksp import KSP
+    from saddle_point_petsc_tpu.utils import viewers
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    opts = opts if opts is not None else Options()
+    if constraints:
+        prob = assemble_saddle(nex, ney, dtype=dtype, body_force=body_force)
+        A, b = prob.K, prob.rhs
+        default_ksp, default_pc = "minres", "fieldsplit"
+    else:
+        prob = assemble_poisson(nex, ney, dtype=dtype, body_force=body_force)
+        A, b = prob.A, prob.f
+        default_ksp, default_pc = "gmres", "jacobi"
+    ksp = KSP(opts)
+    ksp.ksp_type, ksp.pc_type = default_ksp, default_pc
+    ksp.set_operators(A).set_from_options().set_up()
+    viewers.view_from_options(prob.A, opts, "A_mat_view", "A")
+    viewers.view_from_options(prob.f, opts, "f_vec_view", "f")
+    res = ksp.solve(b)
+    u = res.x[0] if constraints else res.x
+    viewers.view_from_options(u, opts, "solution_view", "u")
+    if vtk_path:
+        from saddle_point_petsc_tpu.utils.vtk import write_vtk
+
+        write_vtk(vtk_path, prob.coords, u)
+    return u, res, prob

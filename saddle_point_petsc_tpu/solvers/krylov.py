@@ -42,6 +42,7 @@ DIVERGED_NULL = -2
 DIVERGED_ITS = -3
 DIVERGED_DTOL = -4
 DIVERGED_INDEFINITE_PC = -8
+DIVERGED_NANORINF = -9
 
 REASON_NAMES = {
     2: "CONVERGED_RTOL",
@@ -51,6 +52,7 @@ REASON_NAMES = {
     -3: "DIVERGED_ITS",
     -4: "DIVERGED_DTOL",
     -8: "DIVERGED_INDEFINITE_PC",
+    -9: "DIVERGED_NANORINF",
 }
 
 
@@ -120,19 +122,30 @@ def _identity(x):
 
 
 def _check_convergence(rnorm, rnorm0, rtol, atol, dtol, it, maxiter):
-    """PETSc KSPConvergedDefault logic -> (done, reason)."""
+    """PETSc KSPConvergedDefault logic -> (done, reason).
+
+    Includes the KSP_DIVERGED_NANORINF guard: a non-finite residual norm
+    terminates the loop immediately (the failure-detection story for a
+    fail-stop solver, SURVEY.md §5)."""
+    bad = ~jnp.isfinite(rnorm)
     conv_rtol = rnorm <= rtol * rnorm0
     conv_atol = rnorm <= atol
     div_dtol = rnorm > dtol * rnorm0
     div_its = it >= maxiter
     reason = jnp.where(
-        conv_atol,
-        CONVERGED_ATOL,
+        bad,
+        DIVERGED_NANORINF,
         jnp.where(
-            conv_rtol,
-            CONVERGED_RTOL,
+            conv_atol,
+            CONVERGED_ATOL,
             jnp.where(
-                div_dtol, DIVERGED_DTOL, jnp.where(div_its, DIVERGED_ITS, 0)
+                conv_rtol,
+                CONVERGED_RTOL,
+                jnp.where(
+                    div_dtol,
+                    DIVERGED_DTOL,
+                    jnp.where(div_its, DIVERGED_ITS, 0),
+                ),
             ),
         ),
     )
@@ -665,11 +678,93 @@ def chebyshev(
     )
 
 
+def bcgs(
+    A: Callable,
+    b,
+    M: Optional[Callable] = None,
+    x0=None,
+    rtol=1e-5,
+    atol=1e-50,
+    dtol=1e5,
+    maxiter=10000,
+    monitor=False,
+):
+    """Preconditioned BiCGStab (PETSc KSPBCGS, right-preconditioned form).
+
+    For nonsymmetric systems; two matvecs + two PC applies per iteration,
+    short recurrences (no restart memory).  Tracks the true residual norm.
+    """
+    if M is None:
+        M = _identity
+    if x0 is None:
+        x0 = tzeros_like(b)
+    bnorm = tnorm(b)
+    r = tsub(b, A(x0))
+    r0hat = r
+    rnorm = tnorm(r)
+    history = jnp.full((maxiter + 1,), -1.0, rnorm.dtype).at[0].set(rnorm)
+    _monitor_print(monitor, 0, rnorm)
+    done0, reason0 = _check_convergence(
+        rnorm, bnorm, rtol, atol, dtol, 0, maxiter
+    )
+    eps = jnp.finfo(rnorm.dtype).tiny
+
+    def cond(s):
+        return ~s["done"]
+
+    def body(s):
+        it = s["it"] + 1
+        rho_new = tdot(r0hat, s["r"])
+        beta = (rho_new / jnp.where(s["rho"] == 0, eps, s["rho"])) * (
+            s["alpha"] / jnp.where(s["omega"] == 0, eps, s["omega"])
+        )
+        p = taxpy(
+            beta,
+            taxpy(-s["omega"], s["v"], s["p"]),
+            s["r"],
+        )
+        phat = M(p)
+        v = A(phat)
+        alpha = rho_new / jnp.where(
+            tdot(r0hat, v) == 0, eps, tdot(r0hat, v)
+        )
+        sres = taxpy(-alpha, v, s["r"])
+        shat = M(sres)
+        t = A(shat)
+        tt = tdot(t, t)
+        omega = tdot(t, sres) / jnp.where(tt == 0, eps, tt)
+        x = taxpy(omega, shat, taxpy(alpha, phat, s["x"]))
+        r = taxpy(-omega, t, sres)
+        rnorm = tnorm(r)
+        history = s["history"].at[it].set(rnorm)
+        _monitor_print(monitor, it, rnorm)
+        done, reason = _check_convergence(
+            rnorm, bnorm, rtol, atol, dtol, it, maxiter
+        )
+        return dict(
+            x=x, r=r, p=p, v=v, rho=rho_new, alpha=alpha, omega=omega,
+            it=it, history=history, done=done, reason=reason,
+        )
+
+    one = jnp.ones_like(rnorm)
+    state = dict(
+        x=x0, r=r, p=tzeros_like(b), v=tzeros_like(b),
+        rho=one, alpha=one, omega=one,
+        it=jnp.int32(0), history=history, done=done0, reason=reason0,
+    )
+    state = lax.while_loop(cond, body, state)
+    return KrylovResult(
+        state["x"], state["it"], state["history"][state["it"]], bnorm,
+        state["history"], state["reason"],
+    )
+
+
 SOLVERS = {
     "cg": cg,
     "minres": minres,
     "gmres": gmres,
     "fgmres": fgmres,
+    "bcgs": bcgs,
     "richardson": richardson,
     "chebyshev": chebyshev,
 }

@@ -6,7 +6,7 @@ KSPCreate/KSPSetOperators/KSPSetFromOptions/KSPSolve
 (/root/reference/src/SaddlePointProblem.c:65-72).
 
 Supported options (prefix-scoped; defaults follow PETSc where sensible):
-  -ksp_type {cg,minres,gmres,fgmres,richardson,chebyshev}   [gmres]
+  -ksp_type {cg,minres,gmres,fgmres,bcgs,richardson,chebyshev}  [gmres]
   -ksp_rtol <r>       [1e-5]      -ksp_atol <a>   [1e-50]
   -ksp_divtol <d>     [1e5]       -ksp_max_it <n> [10000]
   -ksp_gmres_restart <m>          [30]

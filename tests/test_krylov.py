@@ -154,3 +154,57 @@ def test_chebyshev_and_richardson_smoke():
     assert r < 1e-2 * np.linalg.norm(np.asarray(prob.f))
     res2 = krylov.richardson(prob.A, prob.f, M=M, scale=0.9, maxiter=50)
     assert float(res2.rnorm) < float(res2.rnorm0)
+
+
+def test_bcgs_on_nonsymmetric(rng):
+    n = 40
+    a = np.eye(n) * 4 + rng.standard_normal((n, n)) * 0.3
+    b = rng.standard_normal(n)
+    A = lambda x: jnp.asarray(a) @ x
+    res = krylov.bcgs(A, jnp.asarray(b), rtol=1e-10, maxiter=400)
+    assert res.converged_reason > 0
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(a, b), rtol=1e-5
+    )
+
+
+def test_bcgs_with_preconditioner():
+    prob, dense, x_star = _problem(12, 12)
+    from saddle_point_petsc_tpu.solvers import precond
+
+    M = precond.jacobi(prob.A)
+    res = krylov.bcgs(prob.A, prob.f, M=M, rtol=1e-10, maxiter=500)
+    assert res.converged_reason > 0
+    np.testing.assert_allclose(fflat(res.x), x_star, rtol=1e-5, atol=1e-9)
+
+
+def test_nan_divergence_detected():
+    """A PC that produces NaN must terminate with DIVERGED_NANORINF,
+    not loop forever (PETSc KSP_DIVERGED_NANORINF semantics)."""
+    prob, _, _ = _problem(4, 4)
+
+    def bad_pc(r):
+        return r / 0.0 * 0.0  # NaN
+
+    res = krylov.cg(prob.A, prob.f, M=bad_pc, rtol=1e-10, maxiter=100)
+    assert int(res.converged_reason) == krylov.DIVERGED_NANORINF
+    assert int(res.iterations) <= 2
+
+
+def test_solve_saddle_point_problem_api(tmp_path):
+    """High-level reference-mirror entry point."""
+    from saddle_point_petsc_tpu.models.saddle import solve_saddle_point_problem
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    opts = Options(["-ksp_rtol", "1e-9"])
+    u, res, prob = solve_saddle_point_problem(
+        8, 8, opts=opts, constraints=True, body_force="trig",
+        vtk_path=tmp_path / "s.vtk",
+    )
+    assert res.converged_reason > 0
+    assert u.shape == (2, 9, 9)
+    assert (tmp_path / "s.vtk").exists()
+    # reference-mode (constraints disabled)
+    u2, res2, _ = solve_saddle_point_problem(3, 3, constraints=False)
+    assert res2.converged_reason > 0
+    assert u2.shape == (2, 4, 4)
