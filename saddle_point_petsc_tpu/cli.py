@@ -82,11 +82,26 @@ def main(argv=None):
     ksp.set_operators(A).set_from_options()
     with log.phase("PCSetUp"):
         ksp.set_up()
-    with log.phase("KSPSolve"):
-        res = ksp.solve(b)
-        jax.block_until_ready(res.x)
+    profile_dir = opts.get_str("profile", None)
+    if profile_dir:
+        # device trace around the solve (PETSc -log_view's deep-profiling
+        # analog; view with TensorBoard / xprof)
+        with jax.profiler.trace(profile_dir):
+            with log.phase("KSPSolve"):
+                res = ksp.solve(b)
+                jax.block_until_ready(res.x)
+    else:
+        with log.phase("KSPSolve"):
+            res = ksp.solve(b)
+            jax.block_until_ready(res.x)
 
     its = int(res.iterations)
+    # credit SpMV traffic to the solve phase for the nnz/s report
+    op = prob.A
+    st = log.phases.get("KSPSolve")
+    if st is not None:
+        st.nnz_processed += float(op.nnz) * max(its, 1)
+        st.flops += 2.0 * float(op.nnz) * max(its, 1)
     print(
         f"{problem_type}: grid {mx}x{my} nodes, ksp={ksp.ksp_type} "
         f"pc={ksp.pc_type}, its={its}, reason={res.reason_name()}, "
