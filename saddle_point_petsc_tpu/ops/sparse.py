@@ -97,6 +97,9 @@ class CSR:
     def matvec(self, x):
         return csr_matvec(self, x)
 
+    def matmat(self, X):
+        return csr_matmat(self, X)
+
 
 _pytree_dataclass(CSR, ("indptr", "cols", "vals"), ("shape",))
 
@@ -133,6 +136,9 @@ class BSR:
     def matvec(self, x):
         return bsr_matvec(self, x)
 
+    def matmat(self, X):
+        return bsr_matmat(self, X)
+
 
 _pytree_dataclass(BSR, ("indptr", "cols", "vals"), ("shape", "block"))
 
@@ -160,6 +166,9 @@ class ELL:
 
     def matvec(self, x):
         return ell_matvec(self, x)
+
+    def matmat(self, X):
+        return ell_matmat(self, X)
 
 
 _pytree_dataclass(ELL, ("cols", "vals"), ("shape",))
@@ -362,6 +371,85 @@ def bsr_matvec(bsr: BSR, x):
 
 
 # ---------------------------------------------------------------------------
+# SpMM — sparse times dense multi-vector (MatMatMult over a thin dense X).
+#
+# The north-star demands SpMM alongside SpMV (BASELINE.json `north_star`:
+# "distributed SpMV/SpMM as Pallas kernels").  Column convention: X is
+# (n, k) with k right-hand sides; returns (m, k).  On TPU the k axis rides
+# the 128-lane dimension, so the gather cost of SpMV is amortized over k
+# columns — BSR SpMM additionally maps the (b x b) x (b x k) block products
+# onto the MXU via a single batched einsum.
+# ---------------------------------------------------------------------------
+
+
+def coo_matmat(coo: COO, X):
+    valid = coo.rows >= 0
+    r = jnp.where(valid, coo.rows, 0)
+    c = jnp.where(valid, coo.cols, 0)
+    v = jnp.where(valid, coo.vals, 0.0)
+    return jax.ops.segment_sum(
+        v[:, None] * X[c], r, num_segments=coo.shape[0]
+    )
+
+
+def csr_matmat(csr: CSR, X):
+    """Y = A @ X for dense X (n, k): one gather, k-wide fma, segment-sum."""
+    rows = row_ids_from_indptr(csr.indptr, csr.nnz)
+    valid = csr.cols >= 0
+    c = jnp.where(valid, csr.cols, 0)
+    v = jnp.where(valid, csr.vals, 0.0)
+    return jax.ops.segment_sum(
+        v[:, None] * X[c],
+        rows,
+        num_segments=csr.shape[0],
+        indices_are_sorted=True,
+    )
+
+
+def ell_matmat(ell: ELL, X):
+    """Y = A @ X: dense gather (m, w, k) + row reduction; no indirection."""
+    valid = ell.cols >= 0
+    c = jnp.where(valid, ell.cols, 0)
+    v = jnp.where(valid, ell.vals, 0.0)
+    return jnp.sum(v[:, :, None] * X[c], axis=1)
+
+
+def bsr_matmat(bsr: BSR, X):
+    """Y = A @ X for block-CSR: block products run on the MXU.
+
+    X: (n, k).  Each nonzero block contributes a (b x b) @ (b x k) matmul —
+    batched into one einsum so XLA tiles it onto the systolic array.
+    """
+    b = bsr.block
+    mb = bsr.shape[0] // b
+    k = X.shape[1]
+    rows = row_ids_from_indptr(bsr.indptr, bsr.nnzb)
+    valid = bsr.cols >= 0
+    c = jnp.where(valid, bsr.cols, 0)
+    v = jnp.where(valid[:, None, None], bsr.vals, 0.0)
+    Xb = X.reshape(-1, b, k)
+    Yi = jnp.einsum("ecd,edk->eck", v, Xb[c])
+    Yb = jax.ops.segment_sum(
+        Yi, rows, num_segments=mb, indices_are_sorted=True
+    )
+    return Yb.reshape(-1, k)
+
+
+def dia_matmat(dia: DIA, X):
+    """Y = A @ X via shifted row-slices of X (no gathers at all)."""
+    n = dia.shape[0]
+    Y = jnp.zeros_like(X)
+    for d, off in enumerate(dia.offsets):
+        if off == 0:
+            Y = Y + dia.data[d][:, None] * X
+        elif off > 0:
+            Y = Y.at[: n - off].add(dia.data[d, : n - off, None] * X[off:])
+        else:
+            Y = Y.at[-off:].add(dia.data[d, -off:, None] * X[: n + off])
+    return Y
+
+
+# ---------------------------------------------------------------------------
 # Boundary-condition elimination
 # ---------------------------------------------------------------------------
 
@@ -451,6 +539,9 @@ class DIA:
 
     def matvec(self, x):
         return dia_matvec(self, x)
+
+    def matmat(self, X):
+        return dia_matmat(self, X)
 
     def __call__(self, x):
         return self.matvec(x)

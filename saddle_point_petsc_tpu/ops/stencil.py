@@ -76,6 +76,16 @@ def planes_matvec_field(planes, xT):
     return planes_matvec_padded(planes, xpT)
 
 
+def planes_matmat_field(planes, XT):
+    """SpMM on a batch of canonical fields: (k, 2, ny, nx) -> (k, 2, ny, nx).
+
+    vmapped over the batch axis — the planes are read once per window and
+    broadcast over k columns, amortizing operator bandwidth across the
+    right-hand sides (the SpMM half of the north-star kernel set).
+    """
+    return jax.vmap(planes_matvec_field, in_axes=(None, 0))(planes, XT)
+
+
 def field_to_flat(xT):
     """(2, ny, nx) dof-major field -> natural interleaved flat vector
     (row = (j*nx + i)*2 + c, the PETSc/CSR ordering)."""
@@ -147,6 +157,17 @@ class StencilOperator:
         """Natural-ordering flat matvec (interop/tests)."""
         ny, nx = self.grid_shape
         return field_to_flat(self.matvec_field(flat_to_field(xflat, ny, nx)))
+
+    def matmat_field(self, XT):
+        """SpMM on batched canonical fields (k, 2, ny, nx)."""
+        return planes_matmat_field(self.planes, XT)
+
+    def matmat(self, X):
+        """Y = A @ X for dense X (n, k) in the natural flat ordering."""
+        ny, nx = self.grid_shape
+        XT = jax.vmap(lambda col: flat_to_field(col, ny, nx), in_axes=1)(X)
+        YT = self.matmat_field(XT)
+        return jax.vmap(field_to_flat, out_axes=1)(YT)
 
     def __call__(self, x):
         if x.ndim == 1:

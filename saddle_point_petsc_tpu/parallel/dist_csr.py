@@ -68,6 +68,29 @@ class DistELL:
         )
         return fn(self.cols, self.vals, x)
 
+    def matmat(self, X):
+        """Y = A @ X for X of shape (n_pad, k), row-sharded over SHARD.
+
+        The gathered vector block is reused across all k columns — the
+        distributed SpMM the north star pairs with SpMV: one all_gather
+        amortized over k right-hand sides.
+        """
+
+        def local(cols, vals, Xl):
+            Xg = lax.all_gather(Xl, SHARD, tiled=True)  # (n_pad, k)
+            valid = cols >= 0
+            c = jnp.where(valid, cols, 0)
+            v = jnp.where(valid, vals, 0.0)
+            return jnp.sum(v[:, :, None] * Xg[c], axis=1)
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(SHARD, None), P(SHARD, None), P(SHARD, None)),
+            out_specs=P(SHARD, None),
+        )
+        return fn(self.cols, self.vals, X)
+
     def __call__(self, x):
         return self.matvec(x)
 
