@@ -37,7 +37,13 @@ def main(argv=None):
     opts = Options(argv)
     if opts.get_bool("use_cpu") or opts.get_str("device", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    if opts.get_str("dtype", "f64") == "f64":
+    # default dtype by backend: f64 on CPU (reference/PETSc precision),
+    # f32 on TPU — TPU has no f64 units and emulation is impractical; use
+    # -dtype f64 to force, or the refined path for rtol 1e-8 on TPU
+    # (solvers/refine.py).
+    on_cpu = jax.default_backend() == "cpu"
+    dtype_str = opts.get_str("dtype", "f64" if on_cpu else "f32")
+    if dtype_str == "f64":
         jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
@@ -46,7 +52,7 @@ def main(argv=None):
     from saddle_point_petsc_tpu.solvers.ksp import KSP
     from saddle_point_petsc_tpu.utils import monitor, viewers, vtk
 
-    dtype = jnp.float64 if opts.get_str("dtype", "f64") == "f64" else jnp.float32
+    dtype = jnp.float64 if dtype_str == "f64" else jnp.float32
     log = monitor.LogView()
 
     # grid: reference default Nx=Ny=3 elements -> 4x4 nodes (main.c:14);

@@ -72,7 +72,75 @@ def restrict(rf, nyc, nxc):
 
 
 def galerkin_coarse_stencil(op: StencilOperator):
-    """A_c = P^T A P in stencil form via comb probing.
+    """A_c = P^T A P in stencil form, computed in closed form.
+
+    Bilinear prolongation has separable hat weights w(-1,0,1) = (1/2, 1, 1/2)
+    per dimension, so the Galerkin entry coupling coarse nodes (J,I) and
+    (J+dJ, I+dI) is a finite sum over fine offsets (a,b) around (2J,2I) and
+    (c,d) around the neighbor:
+
+        Wc[J,I,dJ,dI] = sum_{a,c: |2dJ+c-a|<=1} sum_{b,d: |2dI+d-b|<=1}
+            w(a) w(c) w(b) w(d) * W[2J+a, 2I+b, 2dJ+c-a, 2dI+d-b]
+
+    — 169 strided-slice multiply-adds on coarse-sized arrays, no probing
+    matvecs and no scatters.  This replaced a comb-probing implementation
+    (32 fine-grid matvecs + 288 strided scatter writes per level) that
+    dominated jit compile time at 256^2; kept as
+    `galerkin_coarse_stencil_probe` for cross-validation in tests.
+    Out-of-grid fine entries are zero (zero-padded), matching the fine
+    operator's zero Dirichlet exterior.
+    """
+    return StencilOperator(_galerkin_planes_jit(op.planes))
+
+
+@jax.jit
+def _galerkin_planes_jit(planes):
+    """Jitted body of `galerkin_coarse_stencil` (planes -> coarse planes).
+
+    Kept jitted so MG setup is one device program per level instead of
+    ~1500 eager ops — decisive on remote/tunneled backends where each
+    eager op pays a round trip.
+    """
+    op = StencilOperator(planes)
+    W = op.W  # (ny, nx, 3, 3, 2, 2) block layout
+    ny, nx = op.grid_shape
+    nyc, nxc = (ny + 1) // 2, (nx + 1) // 2
+    Wp = jnp.pad(W, ((1, 1), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+    w1d = {-1: 0.5, 0: 1.0, 1: 0.5}
+    planes_out = []
+    for dJ in (-1, 0, 1):
+        y_terms = [
+            (a, c, w1d[a] * w1d[c])
+            for a in (-1, 0, 1)
+            for c in (-1, 0, 1)
+            if abs(2 * dJ + c - a) <= 1
+        ]
+        for dI in (-1, 0, 1):
+            x_terms = [
+                (b, d, w1d[b] * w1d[d])
+                for b in (-1, 0, 1)
+                for d in (-1, 0, 1)
+                if abs(2 * dI + d - b) <= 1
+            ]
+            acc = jnp.zeros((nyc, nxc, 2, 2), W.dtype)
+            for a, c, wy in y_terms:
+                sj = 2 * dJ + c - a
+                rows = slice(1 + a, 1 + a + 2 * nyc - 1, 2)
+                for b, d, wx in x_terms:
+                    si = 2 * dI + d - b
+                    cols = slice(1 + b, 1 + b + 2 * nxc - 1, 2)
+                    acc = acc + (wy * wx) * Wp[
+                        rows, cols, sj + 1, si + 1
+                    ]
+            planes_out.append(acc)
+    # (9, nyc, nxc, 2, 2) -> (nyc, nxc, 3, 3, 2, 2)
+    Wc = jnp.stack(planes_out).reshape(3, 3, nyc, nxc, 2, 2)
+    Wc = jnp.transpose(Wc, (2, 3, 0, 1, 4, 5))
+    return StencilOperator.from_block(Wc).planes
+
+
+def galerkin_coarse_stencil_probe(op: StencilOperator):
+    """A_c = P^T A P in stencil form via comb probing (validation path).
 
     Coarse stencil reach is <= 1 coarse node (= 2 fine nodes + P reach 1
     = 3 fine < comb spacing 4), so spacing-4 delta combs isolate single
@@ -114,7 +182,7 @@ class MGPC:
     """V(1,1)-cycle geometric multigrid as a (symmetric, linear) PC."""
 
     levels: Tuple[MGLevel, ...]
-    coarse_chol: Any  # dense Cholesky factor of the coarsest operator
+    coarse_inv: Any  # dense inverse of the coarsest operator (host setup)
     cycles: int = 1
 
     def __call__(self, r):
@@ -141,8 +209,11 @@ class MGPC:
 
         if k == len(self.levels):
             ny, nx = r.shape[-2:]
-            flat = field_to_flat(r)  # coarsest chol is in natural ordering
-            z = jax.scipy.linalg.cho_solve((self.coarse_chol, True), flat)
+            flat = field_to_flat(r)  # coarse inverse is in natural ordering
+            # dense inverse applied as a matmul: the coarsest system is tiny
+            # and a matmul avoids device triangular solves (no f64
+            # TriangularSolve/LU on TPU) while riding the MXU.
+            z = self.coarse_inv @ flat
             return flat_to_field(z, ny, nx)
         lvl = self.levels[k]
         z = lvl.smoother(r)  # pre-smooth from zero initial guess
@@ -157,7 +228,7 @@ class MGPC:
 
 jax.tree_util.register_pytree_node(
     MGPC,
-    lambda m: ((m.levels, m.coarse_chol), (m.cycles,)),
+    lambda m: ((m.levels, m.coarse_inv), (m.cycles,)),
     lambda meta, d: MGPC(*d, *meta),
 )
 
@@ -198,11 +269,30 @@ def mg_pc(
             raise ValueError(f"mg smoother {smoother!r}")
         levels.append(MGLevel(op, sm))
         op = galerkin_coarse_stencil(op)
-    dense = np.asarray(
-        sp.coo_to_csr(stencil_to_coo(op.W)).todense()
-    )
-    chol = jnp.asarray(np.linalg.cholesky(dense))
-    return MGPC(tuple(levels), chol, cycles)
+    dense = _stencil_to_dense_host(np.asarray(op.W))
+    coarse_inv = jnp.asarray(np.linalg.inv(dense))
+    return MGPC(tuple(levels), coarse_inv, cycles)
+
+
+def _stencil_to_dense_host(W):
+    """Coarsest-level dense assembly in pure numpy (one device fetch for
+    W, zero further device traffic — the device-side
+    stencil_to_coo -> coo_to_csr -> todense chain is ~60 eager ops, which
+    a remote backend turns into a minute of round trips)."""
+    ny, nx = W.shape[:2]
+    n = ny * nx * 2
+    dense = np.zeros((n, n), W.dtype)
+    for dj in range(3):
+        for di in range(3):
+            blk = W[:, :, dj, di]  # (ny, nx, 2, 2)
+            jlo, jhi = max(0, 1 - dj), ny - max(0, dj - 1)
+            ilo, ihi = max(0, 1 - di), nx - max(0, di - 1)
+            for j in range(jlo, jhi):
+                for i in range(ilo, ihi):
+                    r = (j * nx + i) * 2
+                    c = ((j + dj - 1) * nx + (i + di - 1)) * 2
+                    dense[r : r + 2, c : c + 2] += blk[j, i]
+    return dense
 
 
 @dataclasses.dataclass(frozen=True)

@@ -114,14 +114,50 @@ class PBJacobiPC:
 _register(PBJacobiPC, ("inv_blocks",))
 
 
+def inv_small(M):
+    """Inverse of small trailing (b, b) blocks without LU.
+
+    XLA's LuDecomposition is unimplemented for f64 on TPU, so
+    jnp.linalg.inv cannot appear on the device path.  b == 1/2 use the
+    closed-form adjugate; larger (static, small) b uses unrolled
+    Gauss-Jordan with diagonal pivots — valid for the definite blocks this
+    library inverts (diagonal blocks of assembled operators, Schur
+    complements), and cheaper than LU at these sizes anyway.
+    """
+    b = M.shape[-1]
+    if b == 1:
+        return 1.0 / M
+    if b == 2:
+        a = M[..., 0, 0]
+        bb = M[..., 0, 1]
+        c = M[..., 1, 0]
+        d = M[..., 1, 1]
+        det = a * d - bb * c
+        adj = jnp.stack(
+            [jnp.stack([d, -bb], -1), jnp.stack([-c, a], -1)], -2
+        )
+        return adj / det[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=M.dtype), M.shape)
+    aug = jnp.concatenate([M, eye], axis=-1)
+    for i in range(b):
+        row = aug[..., i, :] / aug[..., i, i][..., None]
+        aug = aug.at[..., i, :].set(row)
+        for j in range(b):
+            if j != i:
+                aug = aug.at[..., j, :].add(
+                    -aug[..., j, i][..., None] * row
+                )
+    return aug[..., b:]
+
+
 def pbjacobi(A) -> PBJacobiPC:
     if isinstance(A, StencilOperator):
-        blocks = A.diag_blocks()  # (ny, nx, 2, 2)
-    elif isinstance(A, sp.BSR):
+        return PBJacobiPC(_inv_diag_blocks_jit(A.planes))
+    if isinstance(A, sp.BSR):
         blocks = sp.bsr_extract_diag_blocks(A)
     else:
         raise TypeError(f"pbjacobi: unsupported operator {type(A)}")
-    return PBJacobiPC(jnp.linalg.inv(blocks))
+    return PBJacobiPC(inv_small(blocks))
 
 
 # ---------------------------------------------------------------------------
@@ -131,14 +167,16 @@ def pbjacobi(A) -> PBJacobiPC:
 
 @dataclasses.dataclass(frozen=True)
 class BlockJacobiPC:
-    """Contiguous row blocks, each solved exactly with a dense Cholesky
-    factor (vmapped triangular solves -> MXU-friendly batched work).
+    """Contiguous row blocks, each solved exactly via a precomputed dense
+    inverse applied as one batched (nb, bs, bs) x (nb, bs) matmul.
 
     The TPU-native version of PETSc PCBJACOBI (+LU/ILU sub-PC): equal-size
-    blocks so the per-block solves batch into one (nb, bs, bs) operation.
+    blocks so the per-block solves batch onto the MXU.  Inverses are
+    host-factorized at setup — device triangular solves are sequential on
+    TPU (and unimplemented for f64), while a batched matmul is one MXU op.
     """
 
-    chol: Any  # (nb, bs, bs) lower Cholesky factors
+    inv: Any  # (nb, bs, bs) dense block inverses
     n: int  # true vector length (blocks may be padded)
 
     def __call__(self, r):
@@ -151,12 +189,10 @@ class BlockJacobiPC:
         elif r.ndim != 1:
             field_shape = ("reshape",) + tuple(r.shape)
             r = r.reshape(-1)
-        nb, bs, _ = self.chol.shape
+        nb, bs, _ = self.inv.shape
         pad = nb * bs - self.n
         rp = jnp.pad(r, (0, pad)).reshape(nb, bs)
-        z = jax.scipy.linalg.cho_solve((self.chol, True), rp[..., None])[
-            ..., 0
-        ]
+        z = jnp.einsum("bij,bj->bi", self.inv, rp)
         z = z.reshape(-1)[: self.n]
         if field_shape is None:
             return z
@@ -165,11 +201,11 @@ class BlockJacobiPC:
         return flat_to_field(z, field_shape[1], field_shape[2])
 
 
-_register(BlockJacobiPC, ("chol",), ("n",))
+_register(BlockJacobiPC, ("inv",), ("n",))
 
 
 def block_jacobi(A_dense_or_csr, nblocks=4) -> BlockJacobiPC:
-    """Host setup: extract nb diagonal blocks and Cholesky-factor them.
+    """Host setup: extract nb diagonal blocks and invert them.
 
     Accepts a CSR (host extraction via scipy) or a dense array.
     Blocks are equal-size (last one padded with identity).
@@ -190,8 +226,8 @@ def block_jacobi(A_dense_or_csr, nblocks=4) -> BlockJacobiPC:
         blocks[k, :m, :m] = get(lo, hi)
         if m < bs:
             blocks[k, m:, m:] = np.eye(bs - m)
-    chol = np.linalg.cholesky(blocks)
-    return BlockJacobiPC(jnp.asarray(chol), n)
+    inv = np.linalg.inv(blocks)
+    return BlockJacobiPC(jnp.asarray(inv), n)
 
 
 def block_jacobi_stencil(op: StencilOperator, nblocks=4) -> BlockJacobiPC:
@@ -406,9 +442,15 @@ class RedBlackSORPC:
 _register(RedBlackSORPC, ("op", "inv_blocks"), ("omega", "sweeps"))
 
 
+@jax.jit
+def _inv_diag_blocks_jit(planes):
+    """Jitted (planes -> inverted diagonal blocks): keeps PC setup at one
+    device call instead of ~10 eager ops (matters on remote backends)."""
+    return inv_small(StencilOperator(planes).diag_blocks())
+
+
 def sor(op: StencilOperator, omega=1.0, sweeps=1) -> RedBlackSORPC:
-    blocks = op.diag_blocks()
-    return RedBlackSORPC(op, jnp.linalg.inv(blocks), omega, sweeps)
+    return RedBlackSORPC(op, _inv_diag_blocks_jit(op.planes), omega, sweeps)
 
 
 # ---------------------------------------------------------------------------
@@ -531,7 +573,7 @@ def schur_pc(A, Bf, inner_solve=None, fact_type="full") -> SchurPC:
     d = A.diagonal()
     dinv = 1.0 / jnp.where(d == 0, 1.0, d)
     S = -jnp.einsum("mcyx,cyx,kcyx->mk", Bf, dinv, Bf)  # negative definite
-    S_inv = jnp.linalg.inv(S)
+    S_inv = inv_small(S)
     if inner_solve is None:
         inner_solve = JacobiPC(dinv)
     return SchurPC(inner_solve, Bf, S_inv, fact_type)
