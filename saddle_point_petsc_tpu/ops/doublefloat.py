@@ -170,9 +170,3 @@ def df_sum(x: DF) -> DF:
         s = df_add(a, b)
         hi, lo = s.hi, s.lo
     return DF(hi[0], lo[0])
-
-
-def df_dot(x: DF, y: DF) -> DF:
-    """Compensated inner product <x, y> with df accuracy."""
-    prods = df_mul(x, y)
-    return df_sum(prods)

@@ -193,7 +193,8 @@ def cg(
     r = tsub(b, A(x0))
     z = M(r)
     rz = tdot(r, z)
-    bnorm = norm_of(b, M(b), tdot(b, M(b)))
+    zb = M(b)
+    bnorm = norm_of(b, zb, tdot(b, zb))
     rnorm = norm_of(r, z, rz)
     history = jnp.full((maxiter + 1,), -1.0, rnorm.dtype).at[0].set(rnorm)
     _monitor_print(monitor, 0, rnorm)
@@ -631,7 +632,7 @@ def richardson(
     )
 
 
-def chebyshev(
+def chebyshev_fixed(
     A: Callable,
     b,
     M: Optional[Callable] = None,
@@ -640,10 +641,12 @@ def chebyshev(
     lmax=1.1,
     maxiter=10,
 ):
-    """Chebyshev semi-iteration on eigenvalue bounds [lmin, lmax] of M A.
+    """Fixed-count Chebyshev semi-iteration on bounds [lmin, lmax] of M A.
 
     Inner-product-free: ideal as a parallel smoother / ILU-class substitute
-    on TPU (no psums at all).  Standard three-term recurrence.
+    on TPU (no psums at all).  Standard three-term recurrence.  This is the
+    smoother/PC building block (ChebyshevPC); the KSP entry point with
+    convergence testing is `chebyshev` below.
     """
     if M is None:
         M = _identity
@@ -675,6 +678,84 @@ def chebyshev(
     history = jnp.full((maxiter + 1,), -1.0, rnorm.dtype).at[0].set(rnorm)
     return KrylovResult(
         x, jnp.int32(maxiter), rnorm, tnorm(b), history, jnp.int32(CONVERGED_ITS)
+    )
+
+
+def chebyshev(
+    A: Callable,
+    b,
+    M: Optional[Callable] = None,
+    x0=None,
+    lmin=0.1,
+    lmax=1.1,
+    rtol=1e-5,
+    atol=1e-50,
+    dtol=1e5,
+    maxiter=10000,
+    monitor=False,
+):
+    """Chebyshev iteration with PETSc-default convergence testing
+    (KSPCHEBYSHEV semantics: true-residual norm checked each iteration, so
+    `-ksp_type chebyshev` terminates at rtol instead of running max_it
+    unconditional sweeps)."""
+    if M is None:
+        M = _identity
+    if x0 is None:
+        x0 = tzeros_like(b)
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    bnorm = tnorm(b)
+
+    r = tsub(b, A(x0))
+    rnorm = tnorm(r)
+    history = jnp.full((maxiter + 1,), -1.0, rnorm.dtype).at[0].set(rnorm)
+    _monitor_print(monitor, 0, rnorm)
+    done0, reason0 = _check_convergence(
+        rnorm, bnorm, rtol, atol, dtol, 0, maxiter
+    )
+
+    def cond(s):
+        return ~s["done"]
+
+    def body(s):
+        it = s["it"] + 1
+        first = it == 1
+        z = M(s["r"])
+        rho_new = jnp.where(
+            first, 1.0 / sigma1, 1.0 / (2.0 * sigma1 - s["rho"])
+        )
+        # first step: d = z / theta; later: three-term recurrence
+        d = jax.tree_util.tree_map(
+            lambda di, zi: jnp.where(
+                first,
+                zi / theta,
+                rho_new * s["rho"] * di + (2.0 * rho_new / delta) * zi,
+            ),
+            s["d"],
+            z,
+        )
+        x = tadd(s["x"], d)
+        r = tsub(b, A(x))
+        rnorm = tnorm(r)
+        history = s["history"].at[it].set(rnorm)
+        _monitor_print(monitor, it, rnorm)
+        done, reason = _check_convergence(
+            rnorm, bnorm, rtol, atol, dtol, it, maxiter
+        )
+        return dict(
+            x=x, r=r, d=d, rho=rho_new, it=it,
+            history=history, done=done, reason=reason,
+        )
+
+    state = dict(
+        x=x0, r=r, d=tzeros_like(b), rho=jnp.ones_like(rnorm),
+        it=jnp.int32(0), history=history, done=done0, reason=reason0,
+    )
+    state = lax.while_loop(cond, body, state)
+    return KrylovResult(
+        state["x"], state["it"], state["history"][state["it"]], bnorm,
+        state["history"], state["reason"],
     )
 
 

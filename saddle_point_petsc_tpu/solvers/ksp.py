@@ -102,10 +102,21 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
             raise ValueError("ilu PC requires stencil or CSR operator")
         return precond.ilu0(csr, sweeps=sweeps)
     if pc_type == "chebyshev":
+        lmin = opts.get_float("pc_chebyshev_lmin", 0.1)
+        lmax = opts.get_float("pc_chebyshev_lmax", 1.1)
+        if opts.get_bool("pc_chebyshev_esteig") and hasattr(A, "grid_shape"):
+            # PETSc -pc_chebyshev_esteig analog: power-iteration bound on
+            # lambda_max(D^-1 A), with the usual (0.1, 1.1)*lmax window.
+            inner = precond.jacobi(A)
+            tmpl = jnp.zeros((2,) + tuple(A.grid_shape), A.planes.dtype)
+            est = float(
+                precond.estimate_lmax(A, M=inner, template=tmpl)
+            )
+            lmin, lmax = 0.1 * 1.1 * est, 1.1 * est
         return precond.chebyshev_pc(
             A,
-            lmin=opts.get_float("pc_chebyshev_lmin", 0.1),
-            lmax=opts.get_float("pc_chebyshev_lmax", 1.1),
+            lmin=lmin,
+            lmax=lmax,
             iters=opts.get_int("pc_chebyshev_its", 3),
         )
     if pc_type == "fieldsplit":
@@ -178,9 +189,19 @@ class KSP:
         if self.ksp_type in ("gmres", "fgmres"):
             kwargs["restart"] = self.restart
         if self.ksp_type == "chebyshev":
-            kwargs = dict(M=self.M, x0=x0, maxiter=self.max_it)
-        if self.ksp_type == "richardson":
-            kwargs.pop("restart", None)
+            # PETSc KSPCHEBYSHEV defaults to eigenvalue estimation with the
+            # transform (0.1*lmax, 1.1*lmax); -ksp_chebyshev_eigenvalues a,b
+            # overrides with explicit bounds.
+            o = self.opts.scoped(self.prefix) if self.prefix else self.opts
+            ev = o.get_str("ksp_chebyshev_eigenvalues", "")
+            if ev:
+                lmin, lmax = (float(t) for t in ev.split(","))
+            else:
+                est = float(
+                    precond.estimate_lmax(self.A, M=self.M, template=b)
+                )
+                lmin, lmax = 0.1 * est, 1.1 * est
+            kwargs["lmin"], kwargs["lmax"] = lmin, lmax
         fn = krylov.SOLVERS[self.ksp_type]
         res = fn(self.A, b, **kwargs)
         o = self.opts.scoped(self.prefix) if self.prefix else self.opts

@@ -261,9 +261,6 @@ def mg_pc(
             sm = precond.chebyshev_pc(op, iters=3)
         elif smoother == "jacobi":
             base = precond.pbjacobi(op)
-            sm = precond.JacobiPC(
-                jax.tree_util.tree_map(lambda x: 0.8 * x, base.inv_blocks)
-            )
             sm = _DampedPBJacobi(base.inv_blocks, 0.8)
         else:
             raise ValueError(f"mg smoother {smoother!r}")

@@ -18,25 +18,6 @@ import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
-class MatOperator:
-    """Wrap a sparse/dense matrix container (anything with .matvec)."""
-
-    mat: Any
-
-    def __call__(self, x):
-        return self.mat.matvec(x)
-
-    @property
-    def shape(self):
-        return self.mat.shape
-
-
-jax.tree_util.register_pytree_node(
-    MatOperator, lambda o: ((o.mat,), None), lambda _, d: MatOperator(*d)
-)
-
-
-@dataclasses.dataclass(frozen=True)
 class SaddleOperator:
     """KKT operator [[A, B^T], [B, 0]] acting on (u, lam) tuples.
 
@@ -69,26 +50,4 @@ jax.tree_util.register_pytree_node(
     SaddleOperator,
     lambda o: ((o.A, o.Bf), None),
     lambda _, d: SaddleOperator(*d),
-)
-
-
-@dataclasses.dataclass(frozen=True)
-class ComposedOperator:
-    """alpha*A + beta*B for operator algebra (e.g. shifted systems)."""
-
-    A: Any
-    B: Any
-    alpha: Any = 1.0
-    beta: Any = 1.0
-
-    def __call__(self, x):
-        return jax.tree_util.tree_map(
-            lambda a, b: self.alpha * a + self.beta * b, self.A(x), self.B(x)
-        )
-
-
-jax.tree_util.register_pytree_node(
-    ComposedOperator,
-    lambda o: ((o.A, o.B, o.alpha, o.beta), None),
-    lambda _, d: ComposedOperator(*d),
 )

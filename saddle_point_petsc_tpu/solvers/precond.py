@@ -470,9 +470,9 @@ class ChebyshevPC:
     iters: int
 
     def __call__(self, r):
-        from saddle_point_petsc_tpu.solvers.krylov import chebyshev
+        from saddle_point_petsc_tpu.solvers.krylov import chebyshev_fixed
 
-        return chebyshev(
+        return chebyshev_fixed(
             self.A, r, M=self.inner, lmin=self.lmin, lmax=self.lmax,
             maxiter=self.iters,
         ).x

@@ -15,7 +15,7 @@ import subprocess
 import numpy as np
 
 _LIB = None
-_CSRC = pathlib.Path(__file__).resolve().parents[2] / "csrc"
+_CSRC = pathlib.Path(__file__).resolve().parents[1] / "csrc"
 
 
 class NativeUnavailable(RuntimeError):
