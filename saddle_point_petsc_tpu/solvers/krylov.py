@@ -27,6 +27,7 @@ tracks the true residual norm.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -157,10 +158,50 @@ def _monitor_print(monitor, it, rnorm):
         jax.debug.print("{it:>5} KSP Residual norm {r:.12e}", it=it, r=rnorm)
 
 
+def _pytree_callable(f):
+    """Make a callable jit-passable as a pytree argument.
+
+    Registered operator/PC pytrees (StencilOperator, JacobiPC, ...) pass
+    through; a plain function/lambda — which jit would reject as a leaf —
+    is wrapped in jax.tree_util.Partial."""
+    if f is None:
+        return None
+    leaves = jax.tree_util.tree_leaves(f)
+    if len(leaves) == 1 and leaves[0] is f:
+        return jax.tree_util.Partial(f)
+    return f
+
+
+def _self_jitting(*static_names):
+    """Make a solver run as ONE jitted XLA program per call.
+
+    Without this, an eagerly-called solve executes its prologue op-by-op
+    and binds the while_loop outside jit — pathological over tunneled
+    backends (per-op RTTs) and for eager shard_map dispatch on distributed
+    operators (minutes instead of seconds on the fake-device CPU mesh).
+    Tolerances stay dynamic (no recompile when rtol changes); sizes
+    (maxiter/restart) and flags are static.
+    """
+
+    def deco(impl):
+        jitted = jax.jit(impl, static_argnames=static_names)
+
+        @functools.wraps(impl)
+        def wrapper(A, b, M=None, x0=None, **kw):
+            return jitted(
+                _pytree_callable(A), b, M=_pytree_callable(M), x0=x0, **kw
+            )
+
+        return wrapper
+
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # CG
 # ---------------------------------------------------------------------------
 
+@_self_jitting("maxiter", "norm_type", "monitor")
 def cg(
     A: Callable,
     b,
@@ -242,6 +283,7 @@ def cg(
 # MINRES
 # ---------------------------------------------------------------------------
 
+@_self_jitting("maxiter", "monitor")
 def minres(
     A: Callable,
     b,
@@ -547,6 +589,7 @@ def _gmres_impl(
     return KrylovResult(x, it, history[it], bnorm, history, reason)
 
 
+@_self_jitting("maxiter", "restart", "monitor")
 def gmres(
     A: Callable,
     b,
@@ -567,6 +610,7 @@ def gmres(
     )
 
 
+@_self_jitting("maxiter", "restart", "monitor")
 def fgmres(
     A: Callable,
     b,
@@ -593,6 +637,7 @@ def fgmres(
 # Richardson / Chebyshev (smoothers & inner solvers)
 # ---------------------------------------------------------------------------
 
+@_self_jitting("maxiter", "monitor")
 def richardson(
     A: Callable,
     b,
@@ -632,6 +677,7 @@ def richardson(
     )
 
 
+@_self_jitting("maxiter")
 def chebyshev_fixed(
     A: Callable,
     b,
@@ -681,6 +727,7 @@ def chebyshev_fixed(
     )
 
 
+@_self_jitting("maxiter", "monitor")
 def chebyshev(
     A: Callable,
     b,
@@ -759,6 +806,7 @@ def chebyshev(
     )
 
 
+@_self_jitting("maxiter", "monitor")
 def bcgs(
     A: Callable,
     b,

@@ -155,6 +155,10 @@ def pbjacobi(A) -> PBJacobiPC:
         return PBJacobiPC(_inv_diag_blocks_jit(A.planes))
     if isinstance(A, sp.BSR):
         blocks = sp.bsr_extract_diag_blocks(A)
+    elif hasattr(A, "diag_blocks"):
+        # distributed stencil operator: diag_blocks is elementwise on the
+        # sharded planes, so the inverse blocks inherit the sharding
+        blocks = A.diag_blocks()
     else:
         raise TypeError(f"pbjacobi: unsupported operator {type(A)}")
     return PBJacobiPC(inv_small(blocks))
@@ -488,24 +492,39 @@ def chebyshev_pc(A, inner=None, lmin=0.1, lmax=1.1, iters=3) -> ChebyshevPC:
 
 
 def estimate_lmax(A, M=None, n=None, iters=10, key=None, template=None):
-    """Power iteration estimate of lambda_max(M A) for Chebyshev bounds."""
+    """Power iteration estimate of lambda_max(M A) for Chebyshev bounds.
+
+    Runs as ONE jitted program: an eager loop of operator applications is
+    pathological both over tunneled backends (per-op RTTs) and for eager
+    shard_map dispatch on distributed operators.
+    """
     if M is None:
-        M = lambda x: x
+        M = IdentityPC()
     if key is None:
         key = jax.random.PRNGKey(0)
     if template is None:
         raise ValueError("need a template vector")
-    v = jax.tree_util.tree_map(
+    v0 = jax.tree_util.tree_map(
         lambda a: jax.random.normal(key, a.shape, a.dtype), template
     )
-    from saddle_point_petsc_tpu.solvers.krylov import tdot, tnorm, tscale
+    from saddle_point_petsc_tpu.solvers.krylov import tnorm, tscale
 
-    lam = jnp.asarray(1.0)
-    for _ in range(iters):
-        w = M(A(v))
-        lam = tnorm(w)
-        v = tscale(1.0 / lam, w)
-    return lam
+    dt = jax.tree_util.tree_leaves(template)[0].dtype
+
+    @jax.jit
+    def run(A, M, v):
+        def body(_, carry):
+            v, lam = carry
+            w = M(A(v))
+            lam = tnorm(w)
+            return (tscale(1.0 / lam, w), lam)
+
+        _, lam = jax.lax.fori_loop(
+            0, iters, body, (v, jnp.asarray(1.0, dt))
+        )
+        return lam
+
+    return run(A, M, v0)
 
 
 # ---------------------------------------------------------------------------
