@@ -49,20 +49,36 @@ def _bw_roofline_bytes_per_s():
     return 100e9  # CPU-ish fallback
 
 
-def bench_spmv(n_nodes=1024, reps=100, dtype=jnp.float32):
+def bench_spmv(n_nodes=1024, reps=100, dtype=jnp.float32, backend="xla"):
     from saddle_point_petsc_tpu.models import poisson
+    from saddle_point_petsc_tpu.ops.stencil import StencilOperator
 
     nex = n_nodes - 1
     prob = poisson.assemble_poisson(nex, nex, dtype=dtype)
-    A = prob.A  # planes-layout stencil operator (the production path)
-    x = prob.f
+
+    # Pre-scale the operator so its spectral radius is < 1: the timed loop
+    # body is then a PURE matvec chain (dependent iterations, bounded
+    # values) with zero extra elementwise traffic.  (Round-1 bench divided
+    # y by (1+i) each iteration — a full-field read+write that polluted
+    # the kernel measurement, VERDICT.md "what's weak" #1.)  One jitted
+    # program: eager ops over the tunneled backend pay per-op RTTs.
+    @jax.jit
+    def prescale(A, x):
+        def body(_, y):
+            y = A.matvec_field(y)
+            return y / jnp.sqrt(jnp.sum(y * y))
+
+        y = jax.lax.fori_loop(0, 12, body, x / jnp.sqrt(jnp.sum(x * x)))
+        lmax = jnp.sum(y * A.matvec_field(y))
+        return A.planes / (1.05 * lmax), y
+
+    planes_scaled, x = prescale(prob.A, prob.f)
+    A = StencilOperator(planes_scaled, backend)
 
     @jax.jit
     def k_spmv(A, x, reps):
         def body(i, x):
-            y = A.matvec_field(x)
-            # keep iterations dependent & bounded
-            return y / (1.0 + jnp.float32(i))
+            return A.matvec_field(x)
 
         out = jax.lax.fori_loop(0, reps, body, x)
         return jnp.sum(out)
@@ -160,20 +176,54 @@ def bench_refined_kkt(n_nodes=256, rtol=1e-8):
     )
 
 
+def bench_scaling_subprocess(n_nodes=512, reps=20, timeout=900):
+    """Run the fake-device CPU scaling harness in a subprocess (the main
+    process owns the TPU backend) and return its JSON keys."""
+    import pathlib
+    import subprocess
+
+    script = pathlib.Path(__file__).parent / "benchmarks" / "scaling.py"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    try:
+        out = subprocess.run(
+            ["python", str(script), str(n_nodes), str(reps)],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # never fail the headline bench on the ratio
+        return {"scaling_error": repr(e)[:200]}
+
+
 def main():
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     n = int(os.environ.get("BENCH_N", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "100"))
     nnz_per_s, sol, dt, nnz = bench_spmv(n_nodes=n, reps=reps)
+    pallas_nnz_per_s, _, dt_pal, _ = bench_spmv(
+        n_nodes=n, reps=reps, backend="pallas"
+    )
+    # headline = best production backend for this chip
+    best, best_dt = max(
+        [(nnz_per_s, dt), (pallas_nnz_per_s, dt_pal)], key=lambda p: p[0]
+    )
     t_solve, its, rrel = bench_time_to_rtol()
     t_ref, cycles, inner_its, rrel8 = bench_refined_kkt()
     out = {
         "metric": "spmv_nnz_per_s",
-        "value": nnz_per_s,
+        "value": best,
         "unit": "nnz/s",
-        "vs_baseline": nnz_per_s / sol,
-        "spmv_ms": dt * 1e3,
+        "vs_baseline": best / sol,
+        "spmv_ms": best_dt * 1e3,
+        "spmv_xla_nnz_per_s": nnz_per_s,
+        "spmv_pallas_nnz_per_s": pallas_nnz_per_s,
         "grid": f"{n}x{n}x2dof",
         "nnz": nnz,
         "roofline_nnz_per_s": sol,
@@ -186,6 +236,7 @@ def main():
         "kkt_rtol1e8_inner_its": inner_its,
         "device": str(jax.devices()[0]),
     }
+    out.update(bench_scaling_subprocess())
     print(json.dumps(out))
 
 

@@ -1,0 +1,100 @@
+"""Scaling-efficiency harness: distributed stencil SpMV nnz/s at 1 vs N
+devices on one global grid (strong scaling of throughput).
+
+The north-star metric is "nnz/s scaling efficiency 1 -> N (>=70% at 2
+hosts)" (BASELINE.md).  Real multi-chip hardware is not attached in this
+environment, so the ratio's *plumbing* is measured on the standard JAX
+fake-device CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N);
+the identical shard_map/ppermute code runs on TPU meshes.  Per-chip
+absolute throughput comes from bench.py on the real chip.
+
+Run standalone:
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py [n_nodes] [reps]
+prints one JSON line; bench.py invokes it as a subprocess and merges the
+keys into the driver JSON.
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# this environment force-registers a TPU ("axon") plugin via sitecustomize
+# and sets JAX_PLATFORMS=axon; override in process BEFORE backend init
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def measure(n_nodes=512, reps=20, ndev=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from saddle_point_petsc_tpu.parallel import dist
+    from saddle_point_petsc_tpu.parallel.mesh import make_mesh, shard_field
+
+    if ndev is None:
+        ndev = len(jax.devices())
+    nnz = n_nodes * n_nodes * 36
+
+    def nnz_per_s(n_devices):
+        mesh = make_mesh(n_devices)
+        grid = dist.DistGrid.create(n_nodes - 1, n_nodes - 1, mesh)
+        A, f, _ = dist.assemble_poisson_dist(grid, dtype=jnp.float32)
+        x = shard_field(jnp.asarray(np.asarray(f)), mesh)
+        # pre-scale spectral radius < 1 so the timed loop is a PURE
+        # matvec chain (same protocol as bench.py)
+        y = x / jnp.sqrt(jnp.sum(x * x))
+        for _ in range(8):
+            y = A.matvec_field(y)
+            y = y / jnp.sqrt(jnp.sum(y * y))
+        lmax = float(jnp.sum(y * A.matvec_field(y)))
+        A = dist.DistStencilOperator(A.planes / (1.05 * lmax), mesh)
+        x = y
+
+        @jax.jit
+        def chain(A, x, r):
+            def body(i, x):
+                return A.matvec_field(x)
+
+            return jnp.sum(jax.lax.fori_loop(0, r, body, x))
+
+        def timed(r):
+            t0 = time.perf_counter()
+            float(chain(A, x, r))
+            return time.perf_counter() - t0
+
+        timed(1)  # compile+warm
+        t1 = min(timed(reps) for _ in range(3))
+        t2 = min(timed(2 * reps) for _ in range(3))
+        dt = max(t2 - t1, 1e-9) / reps
+        return nnz / dt
+
+    r1 = nnz_per_s(1)
+    rn = nnz_per_s(ndev)
+    return {
+        "scaling_devices": ndev,
+        "scaling_grid": f"{n_nodes}x{n_nodes}x2dof",
+        "scaling_nnz_per_s_1dev": r1,
+        "scaling_nnz_per_s_ndev": rn,
+        "scaling_efficiency": rn / (ndev * r1),
+        "scaling_speedup": rn / r1,
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    print(json.dumps(measure(n_nodes=n, reps=reps)))
+
+
+if __name__ == "__main__":
+    main()

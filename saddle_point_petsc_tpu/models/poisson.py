@@ -62,8 +62,13 @@ jax.tree_util.register_pytree_node(
 )
 
 
-@partial(jax.jit, static_argnames=("nex", "ney", "dtype", "body_force"))
-def assemble_poisson(nex, ney, dtype=jnp.float64, body_force="constant"):
+@partial(
+    jax.jit,
+    static_argnames=("nex", "ney", "dtype", "body_force", "backend"),
+)
+def assemble_poisson(
+    nex, ney, dtype=jnp.float64, body_force="constant", backend="xla"
+):
     """Assemble the BC'd vector-Poisson system on an nex x ney element grid.
 
     Fully on-device: batched element stiffness (vmap over the whole grid),
@@ -80,7 +85,9 @@ def assemble_poisson(nex, ney, dtype=jnp.float64, body_force="constant"):
     mask = boundary_mask(ney + 1, nex + 1)
     W = stencil_zero_rows_columns(W, mask, diag=1.0)
     f = jnp.where(mask[None, :, :], 0.0, f)
-    return PoissonProblem(StencilOperator.from_block(W), f, mask, coords)
+    return PoissonProblem(
+        StencilOperator.from_block(W, backend), f, mask, coords
+    )
 
 
 def assemble_rhs(coords, body_force=None, dtype=jnp.float64):

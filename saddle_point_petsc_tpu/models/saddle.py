@@ -132,10 +132,18 @@ jax.tree_util.register_pytree_node(
 
 @partial(
     jax.jit,
-    static_argnames=("nex", "ney", "dtype", "nconstraints", "body_force"),
+    static_argnames=(
+        "nex", "ney", "dtype", "nconstraints", "body_force", "backend",
+    ),
 )
 def assemble_saddle(
-    nex, ney, dtype=jnp.float64, g=None, nconstraints=4, body_force="constant"
+    nex,
+    ney,
+    dtype=jnp.float64,
+    g=None,
+    nconstraints=4,
+    body_force="constant",
+    backend="xla",
 ):
     """Assemble the full KKT saddle-point system on an nex x ney grid.
 
@@ -149,7 +157,9 @@ def assemble_saddle(
     Use body_force="trig" (the force commented out in the reference's
     FormRHS) for a non-trivial constrained solve — benchmarks do.
     """
-    prob = assemble_poisson(nex, ney, dtype=dtype, body_force=body_force)
+    prob = assemble_poisson(
+        nex, ney, dtype=dtype, body_force=body_force, backend=backend
+    )
     fns = default_constraints(dtype)[:nconstraints]
     Bf = assemble_constraints(prob.coords, fns, prob.bc_mask)
     if g is None:

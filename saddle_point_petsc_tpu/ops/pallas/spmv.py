@@ -1,20 +1,27 @@
 """Pallas TPU kernels for the hot SpMV paths.
 
-Two kernels, matching the two production formats:
+Kernels, matching the production formats:
 
-- `stencil_spmv_pallas`: the 3x3-block stencil operator in planes layout —
-  row-blocked grid, x resident in VMEM, 36 fused multiply-adds per block
-  with the grid x-dimension on the 128-lane axis.
-- `dia_spmv_pallas`: DIA (banded) SpMV — per-diagonal shifted products,
-  no gathers or index arrays (the TPU-native general-sparse kernel; see
-  ops/sparse.py DIA for the RCM-reordering route that makes arbitrary
-  matrices banded).
+- `stencil_spmv_pallas`: the 3x3-block stencil operator in planes layout.
+  Row-blocked 1D grid; the planes stream HBM->VMEM through the automatic
+  BlockSpec pipeline, while the overlapping (bm+2)-row windows of the
+  padded field are fetched with *manually double-buffered async DMA*
+  (BlockSpec cannot express overlapping blocks).  36 fused multiply-adds
+  per block with the grid x-dimension on the 128-lane axis.  VMEM use is
+  O(bm * nx), so the kernel scales to arbitrarily large grids (the
+  whole-x-resident variant OOMed VMEM at 1024^2).
+- `stencil_spmv_pallas_padded`: same kernel taking an already halo-padded
+  field — the distributed flavor, where the 1-ring comes from the ppermute
+  halo exchange (parallel/halo.py) instead of zero padding.
+- `dia_spmv_pallas`: DIA (banded) SpMV — per-diagonal shifted products, no
+  gathers or index arrays (see ops/sparse.py DIA for the RCM-reordering
+  route that makes arbitrary matrices banded).
 
-Both use only static shapes/offsets and run in interpret mode on CPU for
-testing.  The XLA paths in ops/stencil.py and ops/sparse.py are already at
-~95% of HBM bandwidth on v5e; these kernels exist to pin the schedule
-explicitly (VMEM residency for x, row-block streaming for the matrix) and
-as the substrate for future fusion (halo-overlap, matvec+dot fusion).
+All kernels use only static shapes/offsets and run in interpret mode on CPU
+for testing.  The XLA stencil path (ops/stencil.py) measures ~102% of the
+exact HBM roofline on v5e; these kernels pin the schedule explicitly and are
+selectable on the production path via StencilOperator(backend="pallas") /
+the -mat_stencil_backend option.  bench.py reports both.
 """
 from __future__ import annotations
 
@@ -26,12 +33,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _stencil_kernel(xp_ref, planes_ref, o_ref, *, bm):
+def _stencil_kernel(xp_hbm, planes_ref, o_ref, x_win, sems, *, bm, wrows):
+    """Grid step i computes output rows [i*bm, (i+1)*bm).
+
+    xp_hbm:    (2, rows, nx+2) in HBM/ANY — windows DMA'd manually.
+               Row r holds padded-field row r (ghost ring at r=0); the
+               tail rows are alignment slack.  Each window is `wrows`
+               rows starting at i*bm: Mosaic DMA slices must be 8-sublane
+               aligned in both offset (bm % 8 == 0, or a single block)
+               and extent (wrows % 8 == 0); rows 0..bm+2 are live.
+    planes_ref:(4, 3, 3, bm, nx) VMEM block (auto-pipelined)
+    x_win:     (2, 2, wrows, nx+2) VMEM scratch (double buffer)
+    sems:      (2,) DMA semaphores
+    """
     i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def win_dma(slot, step):
+        return pltpu.make_async_copy(
+            xp_hbm.at[:, pl.ds(step * bm, wrows), :],
+            x_win.at[slot],
+            sems.at[slot],
+        )
+
+    # warm-up: first window fetched at step 0
+    @pl.when(i == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    # prefetch next window while computing this one
+    @pl.when(i + 1 < nsteps)
+    def _():
+        win_dma((i + 1) % 2, i + 1).start()
+
+    win_dma(i % 2, i).wait()
+    xw = x_win[i % 2]  # (2, wrows, nx+2); rows 0..bm+2 are live
     planes = planes_ref[:]  # (4, 3, 3, bm, nx)
     nx = planes.shape[-1]
-    # rows [i*bm, i*bm + bm + 2) of the padded field, all nx+2 cols
-    xw = xp_ref[:, pl.ds(i * bm, bm + 2), :]  # (2, bm+2, nx+2)
     y0 = jnp.zeros((bm, nx), planes.dtype)
     y1 = y0
     for dj in range(3):
@@ -44,24 +82,32 @@ def _stencil_kernel(xp_ref, planes_ref, o_ref, *, bm):
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "interpret"))
-def stencil_spmv_pallas(planes, xT, bm=128, interpret=False):
-    """y = A x for the planes stencil operator via a Pallas kernel.
+def stencil_spmv_pallas_padded(planes, xp, bm=32, interpret=False):
+    """y = A x for the planes stencil operator, halo-padded input.
 
-    planes: (4, 3, 3, ny, nx); xT: (2, ny, nx) canonical field.
-    Row-blocked over bm grid rows; ny must be divisible by bm (callers pad
-    or pick bm accordingly — bench/production grids are powers of two).
+    planes: (4, 3, 3, ny, nx); xp: (2, ny+2, nx+2) (zero padding for the
+    single-device operator, ppermute halo ring for the distributed one).
+    Row-blocked over bm grid rows; bm falls back to ny when it does not
+    divide ny.
     """
     ny, nx = planes.shape[-2:]
-    if ny % bm:
-        bm = ny  # fallback: single block
-    xp = jnp.pad(xT, ((0, 0), (1, 1), (1, 1)))
+    if ny % bm or bm % 8:
+        bm = ny  # fallback: single block (small/odd grids)
     grid = (ny // bm,)
+    # window extent rounded up to the 8-sublane tile; slack rows keep the
+    # last DMA window in bounds
+    wrows = -(-(bm + 2) // 8) * 8 if grid[0] == 1 else bm + 8
+    slack = wrows + (grid[0] - 1) * bm - (ny + 2)
+    xp = jnp.pad(xp, ((0, 0), (0, slack), (0, 0)))
+    # under shard_map the output varies over the same mesh axes as x
+    vma = getattr(jax.typeof(xp), "vma", frozenset())
+    out_shape = jax.ShapeDtypeStruct((2, ny, nx), xp.dtype, vma=vma)
     return pl.pallas_call(
-        functools.partial(_stencil_kernel, bm=bm),
-        out_shape=jax.ShapeDtypeStruct((2, ny, nx), xT.dtype),
+        functools.partial(_stencil_kernel, bm=bm, wrows=wrows),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp whole, resident in VMEM
+            pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM
             pl.BlockSpec(
                 (4, 3, 3, bm, nx),
                 lambda i: (0, 0, 0, i, 0),
@@ -71,8 +117,19 @@ def stencil_spmv_pallas(planes, xT, bm=128, interpret=False):
         out_specs=pl.BlockSpec(
             (2, bm, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, wrows, nx + 2), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(xp, planes)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "interpret"))
+def stencil_spmv_pallas(planes, xT, bm=32, interpret=False):
+    """y = A x on a canonical (2, ny, nx) field (zero-padded boundary)."""
+    xp = jnp.pad(xT, ((0, 0), (1, 1), (1, 1)))
+    return stencil_spmv_pallas_padded(planes, xp, bm=bm, interpret=interpret)
 
 
 def _dia_kernel(xp_ref, data_ref, o_ref, *, offsets, bn, maxoff):

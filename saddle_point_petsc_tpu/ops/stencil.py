@@ -118,13 +118,21 @@ class StencilOperator:
     HBM bandwidth).  The block view W (ny, nx, 3, 3, 2, 2) and the natural
     interleaved flat ordering (row = (j*nx+i)*2+c) are provided for
     setup-time structural ops and CSR/dense interop.
+
+    `backend` selects the matvec kernel: "xla" (shifted-window einsums,
+    fused by XLA) or "pallas" (explicit double-buffered DMA schedule,
+    ops/pallas/spmv.py).  Selectable at runtime via -mat_stencil_backend.
     """
 
     planes: Any  # (4, 3, 3, ny, nx)
+    backend: str = "xla"  # static: "xla" | "pallas"
 
     @staticmethod
-    def from_block(W):
-        return StencilOperator(block_to_planes(W))
+    def from_block(W, backend="xla"):
+        return StencilOperator(block_to_planes(W), backend)
+
+    def with_backend(self, backend):
+        return dataclasses.replace(self, backend=backend)
 
     @property
     def W(self):
@@ -151,6 +159,14 @@ class StencilOperator:
 
     def matvec_field(self, xT):
         """Canonical matvec: (2, ny, nx) -> (2, ny, nx)."""
+        if self.backend == "pallas":
+            from saddle_point_petsc_tpu.ops.pallas.spmv import (
+                stencil_spmv_pallas,
+            )
+
+            return stencil_spmv_pallas(
+                self.planes, xT, interpret=jax.default_backend() != "tpu"
+            )
         return planes_matvec_field(self.planes, xT)
 
     def matvec(self, xflat):
@@ -186,8 +202,8 @@ class StencilOperator:
 
 jax.tree_util.register_pytree_node(
     StencilOperator,
-    lambda op: ((op.planes,), None),
-    lambda _, data: StencilOperator(*data),
+    lambda op: ((op.planes,), op.backend),
+    lambda backend, data: StencilOperator(data[0], backend),
 )
 
 

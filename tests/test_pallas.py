@@ -10,6 +10,7 @@ from saddle_point_petsc_tpu.ops import sparse as sp
 from saddle_point_petsc_tpu.ops.pallas.spmv import (
     dia_spmv_pallas,
     stencil_spmv_pallas,
+    stencil_spmv_pallas_padded,
 )
 from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
 
@@ -66,6 +67,47 @@ def test_stencil_pallas_nondivisible_block(rng):
         stencil_spmv_pallas(prob.A.planes, xT, bm=8, interpret=True)
     )
     np.testing.assert_allclose(y_pal, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_pallas_padded_matches_zero_pad(rng):
+    prob = poisson.assemble_poisson(15, 15)
+    xT = jnp.asarray(rng.standard_normal((2, 16, 16)))
+    xp = jnp.pad(xT, ((0, 0), (1, 1), (1, 1)))
+    y_ref = np.asarray(prob.A.matvec_field(xT))
+    y_pal = np.asarray(
+        stencil_spmv_pallas_padded(prob.A.planes, xp, bm=4, interpret=True)
+    )
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_operator_pallas_backend(rng):
+    """backend='pallas' is the production switch (-mat_stencil_backend)."""
+    prob = poisson.assemble_poisson(15, 15, backend="pallas")
+    assert prob.A.backend == "pallas"
+    xT = jnp.asarray(rng.standard_normal((2, 16, 16)))
+    y_pal = np.asarray(prob.A.matvec_field(xT))
+    y_ref = np.asarray(prob.A.with_backend("xla").matvec_field(xT))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_stencil_pallas_backend(rng):
+    """Distributed halo-overlap Pallas SpMV matches the XLA path on the
+    8-fake-device mesh (interpret mode under shard_map)."""
+    import jax
+
+    from saddle_point_petsc_tpu.parallel import dist
+    from saddle_point_petsc_tpu.parallel.mesh import make_mesh, shard_field
+
+    mesh = make_mesh(8)
+    grid = dist.DistGrid.create(15, 15, mesh)
+    A, f, mask = dist.assemble_poisson_dist(grid, dtype=jnp.float64)
+    x = shard_field(
+        jnp.asarray(rng.standard_normal((2, grid.ny, grid.nx))), mesh
+    )
+    y_xla = np.asarray(jax.jit(A.matvec_field)(x))
+    Ap = A.with_backend("pallas")
+    y_pal = np.asarray(jax.jit(Ap.matvec_field)(x))
+    np.testing.assert_allclose(y_pal, y_xla, rtol=1e-12, atol=1e-12)
 
 
 def test_dia_pallas_kernel_matches_xla(rng):
