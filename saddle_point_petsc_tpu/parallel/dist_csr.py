@@ -1,22 +1,40 @@
-"""Row-partitioned distributed general sparse matrix (MATMPIAIJ subset).
+"""Row-partitioned distributed general sparse matrix (MATMPIAIJ).
 
-The structured-grid fast path lives in parallel/dist.py (stencil +
-ppermute halos).  This module covers the *general* sparse case the
-north star also demands (distributed CSR/BSR SpMV for arbitrary
-patterns): rows are block-partitioned over a 1D device axis, each shard
-stores its rows in fixed-width sliced-ELL form (TPU-friendly: dense
-gather + row reduction, no indirect scatter), and the off-shard vector
-entries arrive via all_gather over the shard axis.
+PETSc's MatMPIAIJ stores each rank's rows as two local blocks — the
+"diagonal" block (columns owned by the rank) and the "off-diagonal" block
+(everything else) — plus a VecScatter that ships exactly the ghost entries
+each MatMult needs (the implicit scatter inside every KSPSolve MatMult,
+ref /root/reference/src/SaddlePointProblem.c:70; assembly-time
+stash-and-ship, ref /root/reference/src/Discretization.c:165,168-169).
 
-PETSc analogy: MatMPIAIJ's diag/offdiag split + VecScatter becomes
-ELL rows over a gathered vector.  For matrices with 2D-grid locality
-prefer the stencil path; for irregular coupling (the general library
-case) this is the robust default.  An `offdiag_width`-limited variant
-that ppermutes only neighbor slices is a planned optimization.
+`DistAIJ` is the TPU-native equivalent:
+
+- rows block-partitioned over a 1D mesh axis; both blocks stored per shard
+  in fixed-width ELL (dense gather + row reduction: static shapes, no
+  indirect scatter, VPU-friendly);
+- the diag block carries LOCAL column ids, the offdiag block indexes a
+  compact GHOST buffer;
+- the VecScatter is a precomputed send plan realized as ONE
+  `lax.all_to_all` of a (ndev, max_send) buffer — per-device communication
+  volume is O(ghost entries), independent of the global dimension.  (The
+  round-1 DistELL all_gathered the entire vector every matvec — O(n)
+  traffic and memory per device; disqualifying at 10M rows.)
+- the diag-block SpMV depends only on local data, so XLA overlaps it with
+  the all_to_all (interior-before-halo, BASELINE.md config 4).
+
+Assembly parity: `exchange_triplets` routes COO triplets to their row
+owners via bucketed all_to_all entirely on device (MatSetValuesStencil
+ADD_VALUES stash-and-ship semantics); `dist_aij_from_coo` composes it with
+the host-side scatter-plan build (a one-time setup step — PETSc builds its
+VecScatter plans on the host too).
+
+For operators with structured 2D-grid locality, parallel/dist.py's stencil
+path remains the fast path; DistAIJ is the general/irregular-coupling case.
 """
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -36,110 +54,258 @@ def make_mesh_1d(ndev=None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:ndev]), (SHARD,))
 
 
-@dataclasses.dataclass(frozen=True)
-class DistELL:
-    """Sharded fixed-width sparse rows.
+def _ell_rowsum(cols, vals, vec):
+    """y_i = sum_k vals[i,k] * vec[cols[i,k]]  (cols<0 = padding)."""
+    valid = cols >= 0
+    c = jnp.where(valid, cols, 0)
+    v = jnp.where(valid, vals, 0.0)
+    return jnp.sum(v * vec[c], axis=1)
 
-    cols/vals: (n_pad, k) with the row dim sharded over the 1D mesh;
-    col ids are GLOBAL (into the padded vector); -1 = padding.
+
+@dataclasses.dataclass(frozen=True)
+class DistAIJ:
+    """MATMPIAIJ-style sharded sparse matrix over a 1D `shard` mesh axis.
+
+    diag_cols/diag_vals: (n_pad, kd) — local-block ELL, LOCAL column ids
+    off_cols/off_vals:   (n_pad, ko) — offdiag ELL, ids into the ghost
+                         buffer layout (src_shard * max_send + slot)
+    send_idx:            (ndev, ndev, max_send) int32 — send_idx[s, d, t]
+                         is the LOCAL index on shard s of the t-th vector
+                         entry shard s ships to shard d (-? padding sends
+                         slot 0, never referenced by any off_cols)
+    All row-dim arrays are sharded P(SHARD, ...); -1 = ELL padding.
     """
 
-    cols: Any  # (n_pad, k) int32, sharded P(SHARD, None)
-    vals: Any  # (n_pad, k)
+    diag_cols: Any
+    diag_vals: Any
+    off_cols: Any
+    off_vals: Any
+    send_idx: Any
     shape: tuple  # true (m, n)
     n_pad: int
     mesh: Mesh
 
+    @property
+    def ndev(self):
+        return self.mesh.devices.size
+
+    @property
+    def n_loc(self):
+        return self.n_pad // self.ndev
+
+    @property
+    def max_send(self):
+        return self.send_idx.shape[-1]
+
+    @property
+    def ghost_count(self):
+        """Per-device ghost-buffer length = comm volume per matvec (in
+        elements).  Independent of the global n — the scaling invariant
+        the round-1 all_gather design violated."""
+        return self.ndev * self.max_send
+
     def matvec(self, x):
         """y = A @ x for x of length n_pad, sharded over SHARD."""
 
-        def local(cols, vals, xl):
-            xg = lax.all_gather(xl, SHARD, tiled=True)  # (n_pad,)
-            valid = cols >= 0
-            c = jnp.where(valid, cols, 0)
-            v = jnp.where(valid, vals, 0.0)
-            return jnp.sum(v * xg[c], axis=1)
+        def local(dc, dv, oc, ov, sidx, xl):
+            # ghost exchange: ship exactly the precomputed entries
+            buf = xl[sidx[0]]  # (ndev, max_send)
+            ghost = lax.all_to_all(
+                buf, SHARD, split_axis=0, concat_axis=0
+            ).reshape(-1)
+            # local (diag-block) SpMV depends only on xl -> XLA overlaps
+            # it with the all_to_all
+            yd = _ell_rowsum(dc, dv, xl)
+            return yd + _ell_rowsum(oc, ov, ghost)
 
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(SHARD, None), P(SHARD, None), P(SHARD)),
+            in_specs=(
+                P(SHARD, None),
+                P(SHARD, None),
+                P(SHARD, None),
+                P(SHARD, None),
+                P(SHARD, None, None),
+                P(SHARD),
+            ),
             out_specs=P(SHARD),
         )
-        return fn(self.cols, self.vals, x)
+        return fn(
+            self.diag_cols,
+            self.diag_vals,
+            self.off_cols,
+            self.off_vals,
+            self.send_idx,
+            x,
+        )
 
     def matmat(self, X):
         """Y = A @ X for X of shape (n_pad, k), row-sharded over SHARD.
 
-        The gathered vector block is reused across all k columns — the
-        distributed SpMM the north star pairs with SpMV: one all_gather
-        amortized over k right-hand sides.
-        """
+        One ghost exchange amortized over all k right-hand sides — the
+        distributed SpMM the north star pairs with SpMV."""
 
-        def local(cols, vals, Xl):
-            Xg = lax.all_gather(Xl, SHARD, tiled=True)  # (n_pad, k)
-            valid = cols >= 0
-            c = jnp.where(valid, cols, 0)
-            v = jnp.where(valid, vals, 0.0)
-            return jnp.sum(v[:, :, None] * Xg[c], axis=1)
+        def local(dc, dv, oc, ov, sidx, Xl):
+            buf = Xl[sidx[0]]  # (ndev, max_send, k)
+            ghost = lax.all_to_all(buf, SHARD, split_axis=0, concat_axis=0)
+            ghost = ghost.reshape(-1, Xl.shape[1])
+            valid = dc >= 0
+            yd = jnp.sum(
+                jnp.where(valid, dv, 0.0)[:, :, None]
+                * Xl[jnp.where(valid, dc, 0)],
+                axis=1,
+            )
+            valid_o = oc >= 0
+            yo = jnp.sum(
+                jnp.where(valid_o, ov, 0.0)[:, :, None]
+                * ghost[jnp.where(valid_o, oc, 0)],
+                axis=1,
+            )
+            return yd + yo
 
         fn = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(SHARD, None), P(SHARD, None), P(SHARD, None)),
+            in_specs=(
+                P(SHARD, None),
+                P(SHARD, None),
+                P(SHARD, None),
+                P(SHARD, None),
+                P(SHARD, None, None),
+                P(SHARD, None),
+            ),
             out_specs=P(SHARD, None),
         )
-        return fn(self.cols, self.vals, X)
+        return fn(
+            self.diag_cols,
+            self.diag_vals,
+            self.off_cols,
+            self.off_vals,
+            self.send_idx,
+            X,
+        )
 
     def __call__(self, x):
         return self.matvec(x)
 
     def diagonal(self):
-        rows = jnp.arange(self.n_pad, dtype=jnp.int32)[:, None]
-        isdiag = self.cols == rows
-        d = jnp.sum(jnp.where(isdiag, self.vals, 0.0), axis=1)
-        return jnp.where(rows[:, 0] < self.shape[0], d, 1.0)
+        """diag(A): the diag-block entry whose local col == local row.
+        Pure elementwise on the sharded arrays (no comm)."""
+        rloc = (jnp.arange(self.n_pad, dtype=jnp.int32) % self.n_loc)[:, None]
+        isdiag = self.diag_cols == rloc
+        return jnp.sum(jnp.where(isdiag, self.diag_vals, 0.0), axis=1)
 
 
 jax.tree_util.register_pytree_node(
-    DistELL,
-    lambda o: ((o.cols, o.vals), (o.shape, o.n_pad, o.mesh)),
-    lambda m, d: DistELL(*d, *m),
+    DistAIJ,
+    lambda o: (
+        (o.diag_cols, o.diag_vals, o.off_cols, o.off_vals, o.send_idx),
+        (o.shape, o.n_pad, o.mesh),
+    ),
+    lambda m, d: DistAIJ(*d, *m),
 )
 
 
-def dist_ell_from_scipy(a, mesh: Mesh, k=None, dtype=None):
-    """Partition a scipy sparse matrix into a sharded DistELL (host setup).
+def _ell_pack(rows, cols, vals, nrows, k, dtype):
+    """Pack row-major-sorted triplets into (nrows, k) ELL arrays (host)."""
+    out_c = np.full((nrows, k), -1, np.int32)
+    out_v = np.zeros((nrows, k), dtype)
+    if len(rows):
+        cnt = np.bincount(rows, minlength=nrows)
+        firsts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pos = np.arange(len(rows)) - firsts[rows]
+        out_c[rows, pos] = cols
+        out_v[rows, pos] = vals
+    return out_c, out_v
 
-    Pads rows to a common width k and the row count to a multiple of the
-    device count; padded rows are identity (so Krylov on padded vectors
-    with zero rhs entries is unaffected).
+
+def dist_aij_from_scipy(a, mesh: Mesh, dtype=None):
+    """Partition a scipy sparse matrix into a DistAIJ (host setup phase).
+
+    Builds the diag/offdiag split and the ghost scatter plan — the
+    TPU-native VecScatter construction.  Rows are padded to a multiple of
+    the device count with identity rows (harmless to Krylov with zero rhs
+    entries).  Fully vectorized (numpy); no per-entry Python loops.
     """
     import scipy.sparse as sp
 
     a = a.tocsr()
+    a.sum_duplicates()
     a.sort_indices()
     m, n = a.shape
-    assert m == n, "square systems only for padded identity rows"
-    ndev = mesh.devices.size
-    n_pad = -(-m // ndev) * ndev
-    if k is None:
-        k = max(1, int(np.max(np.diff(a.indptr))) if m else 1)
-    cols = np.full((n_pad, k), -1, np.int32)
-    vals = np.zeros((n_pad, k), np.float64 if dtype is None else dtype)
-    for i in range(m):
-        lo, hi = a.indptr[i], a.indptr[i + 1]
-        w = hi - lo
-        assert w <= k, f"row {i} has {w} > k={k} entries"
-        cols[i, :w] = a.indices[lo:hi]
-        vals[i, :w] = a.data[lo:hi]
-    for i in range(m, n_pad):  # identity padding
-        cols[i, 0] = i
-        vals[i, 0] = 1.0
-    sharding = NamedSharding(mesh, P(SHARD, None))
-    return DistELL(
-        jax.device_put(jnp.asarray(cols), sharding),
-        jax.device_put(jnp.asarray(vals), sharding),
+    assert m == n, "square systems only (padded identity rows)"
+    ndev = int(mesh.devices.size)
+    n_loc = -(-m // ndev)
+    n_pad = n_loc * ndev
+    dtype = np.dtype(dtype or a.dtype)
+
+    # entry arrays, with identity padding rows appended (CSR row-major)
+    nnz = a.indptr[-1]
+    rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(a.indptr))
+    cols = a.indices.astype(np.int64)
+    vals = a.data.astype(dtype)
+    if n_pad > m:
+        pad_r = np.arange(m, n_pad, dtype=np.int64)
+        rows = np.concatenate([rows, pad_r])
+        cols = np.concatenate([cols, pad_r])
+        vals = np.concatenate([vals, np.ones(n_pad - m, dtype)])
+
+    owner_row = rows // n_loc
+    owner_col = cols // n_loc
+    isdiag = owner_col == owner_row
+
+    # ---- diag block: LOCAL column ids ----
+    kd = 1
+    dr, dcg, dvv = rows[isdiag], cols[isdiag], vals[isdiag]
+    if len(dr):
+        kd = max(1, int(np.bincount(dr, minlength=n_pad).max()))
+    diag_cols, diag_vals = _ell_pack(
+        dr, (dcg % n_loc).astype(np.int32), dvv, n_pad, kd, dtype
+    )
+
+    # ---- ghost plan: unique (dest, col) needs, grouped by (src, dest) ----
+    off = ~isdiag
+    orow, ocol, oval = rows[off], cols[off], vals[off]
+    if len(orow):
+        comb = owner_row[off] * n_pad + ocol  # radix (dest, col)
+        comb_pairs = np.unique(comb)  # sorted
+        dest_p = comb_pairs // n_pad
+        col_p = comb_pairs % n_pad
+        src_p = col_p // n_loc
+        # order within each (src, dest) group, columns ascending
+        ordr = np.lexsort((col_p, dest_p, src_p))
+        gkey = src_p[ordr] * ndev + dest_p[ordr]
+        grp_cnt = np.bincount(gkey, minlength=ndev * ndev)
+        max_send = max(1, int(grp_cnt.max()))
+        grp_first = np.concatenate([[0], np.cumsum(grp_cnt)[:-1]])
+        slot = np.arange(len(ordr)) - grp_first[gkey]
+        ghost_of_pair = np.empty(len(ordr), np.int64)
+        ghost_of_pair[ordr] = src_p[ordr] * max_send + slot
+        send_idx = np.zeros((ndev, ndev, max_send), np.int32)
+        send_idx[src_p[ordr], dest_p[ordr], slot] = (
+            col_p[ordr] % n_loc
+        ).astype(np.int32)
+        # map each offdiag entry to its ghost-buffer index
+        pos = np.searchsorted(comb_pairs, comb)
+        gidx = ghost_of_pair[pos].astype(np.int32)
+        ko = max(1, int(np.bincount(orow, minlength=n_pad).max()))
+        off_cols, off_vals = _ell_pack(orow, gidx, oval, n_pad, ko, dtype)
+    else:
+        max_send = 1
+        send_idx = np.zeros((ndev, ndev, 1), np.int32)
+        off_cols = np.full((n_pad, 1), -1, np.int32)
+        off_vals = np.zeros((n_pad, 1), dtype)
+
+    row_shard = NamedSharding(mesh, P(SHARD, None))
+    return DistAIJ(
+        jax.device_put(jnp.asarray(diag_cols), row_shard),
+        jax.device_put(jnp.asarray(diag_vals), row_shard),
+        jax.device_put(jnp.asarray(off_cols), row_shard),
+        jax.device_put(jnp.asarray(off_vals), row_shard),
+        jax.device_put(
+            jnp.asarray(send_idx), NamedSharding(mesh, P(SHARD, None, None))
+        ),
         (m, n),
         n_pad,
         mesh,
@@ -149,6 +315,97 @@ def dist_ell_from_scipy(a, mesh: Mesh, k=None, dtype=None):
 def pad_vector(b, n_pad, mesh: Mesh):
     """Zero-pad a host/device vector to n_pad and shard it over the mesh."""
     b = np.asarray(b)
-    out = np.zeros((n_pad,), b.dtype)
+    out = np.zeros((n_pad,) + b.shape[1:], b.dtype)
     out[: b.shape[0]] = b
-    return jax.device_put(jnp.asarray(out), NamedSharding(mesh, P(SHARD)))
+    spec = P(SHARD) if b.ndim == 1 else P(SHARD, None)
+    return jax.device_put(jnp.asarray(out), NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# Device-side distributed assembly: off-shard triplet exchange
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_loc", "cap"))
+def exchange_triplets(rows, cols, vals, mesh: Mesh, n_loc: int, cap: int):
+    """Route COO triplets to the shard that owns their row (stash-and-ship,
+    ref MatAssemblyBegin/End, /root/reference/src/Discretization.c:168-169).
+
+    rows/cols/vals: (E,) entry-sharded P(SHARD); rows < 0 marks padding.
+    cap: static per-(src,dst) bucket capacity.  Returns (rows, cols, vals,
+    overflow) where the outputs are (ndev^2 * cap,) row-owner-sharded
+    triplets (padding rows = -1) and `overflow` flags any shard that had
+    more than `cap` triplets for one destination (entries were dropped —
+    re-run with a larger cap; PETSc's stash similarly resizes).
+    """
+    ndev = mesh.devices.size
+
+    def local(r, c, v):
+        me = lax.axis_index(SHARD)
+        dest = jnp.where(r >= 0, r // n_loc, me)  # padding stays local
+        order = jnp.argsort(dest)
+        ds, rs, cs, vs = dest[order], r[order], c[order], v[order]
+        first = jnp.searchsorted(ds, jnp.arange(ndev))
+        slot = jnp.arange(r.shape[0]) - first[ds]
+        ok = slot < cap
+        overflow = jnp.any(~ok & (rs >= 0))
+        # out-of-range slot -> dropped by mode="drop" (never clobbers)
+        slot = jnp.where(ok, slot, cap)
+        br = (
+            jnp.full((ndev, cap + 1), -1, rs.dtype)
+            .at[ds, slot]
+            .set(rs, mode="drop")[:, :cap]
+        )
+        bc = (
+            jnp.zeros((ndev, cap + 1), cs.dtype)
+            .at[ds, slot]
+            .set(cs, mode="drop")[:, :cap]
+        )
+        bv = (
+            jnp.zeros((ndev, cap + 1), vs.dtype)
+            .at[ds, slot]
+            .set(vs, mode="drop")[:, :cap]
+        )
+        ex = lambda b: lax.all_to_all(
+            b, SHARD, split_axis=0, concat_axis=0
+        ).reshape(-1)
+        return ex(br), ex(bc), ex(bv), lax.psum(overflow, SHARD)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SHARD), P(SHARD), P(SHARD)),
+        out_specs=(P(SHARD), P(SHARD), P(SHARD), P()),
+    )
+    return fn(rows, cols, vals)
+
+
+def dist_aij_from_coo(rows, cols, vals, n, mesh: Mesh, cap=None, dtype=None):
+    """Distributed assembly: device-side triplet exchange + host plan build.
+
+    Triplets may live on any shard with duplicates (ADD_VALUES semantics).
+    The row exchange runs on device via all_to_all; the one-time static
+    scatter-plan construction runs on host (as PETSc's VecScatter setup
+    does).
+    """
+    import scipy.sparse as sp
+
+    ndev = int(mesh.devices.size)
+    n_loc = -(-n // ndev)
+    E = int(np.shape(rows)[0])
+    if cap is None:
+        cap = E  # always enough; callers with locality pass a tight cap
+    r, c, v, overflow = exchange_triplets(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        mesh, n_loc, int(cap),
+    )
+    if bool(overflow):
+        raise ValueError(
+            f"exchange_triplets overflow: bucket capacity {cap} too small"
+        )
+    r, c, v = np.asarray(r), np.asarray(c), np.asarray(v)
+    keep = r >= 0
+    a = sp.coo_matrix(
+        (v[keep], (r[keep], c[keep])), shape=(n, n)
+    ).tocsr()
+    return dist_aij_from_scipy(a, mesh, dtype=dtype)

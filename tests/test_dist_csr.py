@@ -1,4 +1,5 @@
-"""Distributed general-CSR (DistELL) tests on the fake 8-device mesh."""
+"""Distributed general-sparse (DistAIJ, MATMPIAIJ-style) tests on the fake
+8-device mesh: diag/offdiag split + ghost-only exchange."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,36 +15,56 @@ def mesh1d():
     return dist_csr.make_mesh_1d(8)
 
 
-def test_dist_ell_matvec_matches_scipy(mesh1d, rng):
+def _poisson2d(nx, ny):
+    """Scalar 5-point Laplacian (natural row-major ordering)."""
+    ix = sp.identity(nx)
+    iy = sp.identity(ny)
+    tx = sp.diags([-1, 2, -1], [-1, 0, 1], (nx, nx))
+    ty = sp.diags([-1, 2, -1], [-1, 0, 1], (ny, ny))
+    return (sp.kron(iy, tx) + sp.kron(ty, ix)).tocsr()
+
+
+def test_dist_aij_matvec_matches_scipy(mesh1d, rng):
     n = 50  # not divisible by 8 -> exercises padding
     a = sp.random(n, n, density=0.15, random_state=0, format="csr")
     a = a + sp.eye(n)
-    A = dist_csr.dist_ell_from_scipy(a, mesh1d)
+    A = dist_csr.dist_aij_from_scipy(a, mesh1d)
     x = rng.standard_normal(A.n_pad)
     xs = dist_csr.pad_vector(x[:n], A.n_pad, mesh1d)
     y = np.asarray(jax.jit(A.matvec)(xs))
     np.testing.assert_allclose(y[:n], a @ x[:n], atol=1e-12)
-    # padded rows act as identity
+    # padded rows act as identity on a zero-padded vector
     np.testing.assert_allclose(y[n:], 0.0, atol=1e-14)
 
 
-def test_dist_ell_diagonal(mesh1d):
+def test_dist_aij_matmat_matches_scipy(mesh1d, rng):
+    n, k = 41, 5
+    a = sp.random(n, n, density=0.2, random_state=3, format="csr")
+    a = a + sp.eye(n)
+    A = dist_csr.dist_aij_from_scipy(a, mesh1d)
+    X = rng.standard_normal((n, k))
+    Xs = dist_csr.pad_vector(X, A.n_pad, mesh1d)
+    Y = np.asarray(jax.jit(A.matmat)(Xs))
+    np.testing.assert_allclose(Y[:n], a @ X, atol=1e-12)
+
+
+def test_dist_aij_diagonal(mesh1d):
     n = 20
     a = sp.random(n, n, density=0.3, random_state=1, format="csr")
     a = a + 5 * sp.eye(n)
-    A = dist_csr.dist_ell_from_scipy(a, mesh1d)
+    A = dist_csr.dist_aij_from_scipy(a, mesh1d)
     d = np.asarray(A.diagonal())
     np.testing.assert_allclose(d[:n], a.diagonal(), atol=1e-13)
     np.testing.assert_allclose(d[n:], 1.0)
 
 
-def test_dist_ell_cg_solve(mesh1d, rng):
+def test_dist_aij_cg_solve(mesh1d, rng):
     """CG on a distributed SPD general matrix matches a dense solve."""
     n = 60
     b0 = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.1)
     a_dense = b0 @ b0.T + n * np.eye(n)
     a = sp.csr_matrix(a_dense)
-    A = dist_csr.dist_ell_from_scipy(a, mesh1d)
+    A = dist_csr.dist_aij_from_scipy(a, mesh1d)
     b = rng.standard_normal(n)
     bs = dist_csr.pad_vector(b, A.n_pad, mesh1d)
     d = A.diagonal()
@@ -53,3 +74,68 @@ def test_dist_ell_cg_solve(mesh1d, rng):
     assert res.converged_reason > 0
     x = np.asarray(res.x)[:n]
     np.testing.assert_allclose(x, np.linalg.solve(a_dense, b), rtol=1e-6)
+
+
+def test_dist_aij_comm_volume_independent_of_n(mesh1d):
+    """The scaling invariant (VERDICT round 1 #1): per-device exchange
+    volume depends on the partition BOUNDARY, not the global size.  For a
+    1D row partition of a 2D Poisson grid with fixed row length nx, the
+    ghost count must stay constant as ny (hence n) grows 8x."""
+    nx = 16
+    ghosts, ns = [], []
+    for ny in (32, 64, 256):
+        A = dist_csr.dist_aij_from_scipy(_poisson2d(nx, ny), mesh1d)
+        ghosts.append(A.ghost_count)
+        ns.append(A.shape[0])
+    assert ghosts[0] == ghosts[1] == ghosts[2]
+    # at the largest grid the exchange is a tiny fraction of the vector
+    assert ghosts[-1] < ns[-1] / 16
+
+
+def test_dist_aij_offdiag_split_is_tight(mesh1d):
+    """Every purely-local matrix has an (empty) 1-wide offdiag block."""
+    n = 64  # 8 rows/shard; block-diagonal matrix -> no ghosts at all
+    blocks = [np.eye(8) * (i + 1) for i in range(8)]
+    a = sp.block_diag(blocks, format="csr")
+    A = dist_csr.dist_aij_from_scipy(a, mesh1d)
+    assert A.max_send == 1
+    assert int(jnp.max(A.off_cols)) == -1  # offdiag fully empty
+
+
+def test_exchange_triplets_parity(mesh1d, rng):
+    """Device-side stash-and-ship: randomly scattered duplicate COO
+    triplets reassemble to the scipy matrix exactly."""
+    n = 48
+    a = _poisson2d(8, 6).astype(np.float64)  # 48x48
+    coo = a.tocoo()
+    # duplicate every entry (split 60/40) and shuffle across shards
+    r = np.concatenate([coo.row, coo.row]).astype(np.int32)
+    c = np.concatenate([coo.col, coo.col]).astype(np.int32)
+    v = np.concatenate([coo.data * 0.6, coo.data * 0.4])
+    perm = rng.permutation(len(r))
+    r, c, v = r[perm], c[perm], v[perm]
+    # pad entry count to a multiple of ndev
+    E = -(-len(r) // 8) * 8
+    pad = E - len(r)
+    r = np.concatenate([r, np.full(pad, -1, np.int32)])
+    c = np.concatenate([c, np.zeros(pad, np.int32)])
+    v = np.concatenate([v, np.zeros(pad)])
+    A = dist_csr.dist_aij_from_coo(r, c, v, n, mesh1d, cap=len(r))
+    x = rng.standard_normal(n)
+    xs = dist_csr.pad_vector(x, A.n_pad, mesh1d)
+    y = np.asarray(jax.jit(A.matvec)(xs))
+    np.testing.assert_allclose(y[:n], a @ x, atol=1e-12)
+
+
+def test_exchange_triplets_overflow_flag(mesh1d):
+    """Too-small bucket capacity must be reported, not silently dropped."""
+    n = 16
+    a = _poisson2d(4, 4)
+    coo = a.tocoo()
+    E = -(-coo.nnz // 8) * 8
+    r = np.full(E, -1, np.int32)
+    c = np.zeros(E, np.int32)
+    v = np.zeros(E)
+    r[: coo.nnz], c[: coo.nnz], v[: coo.nnz] = coo.row, coo.col, coo.data
+    with pytest.raises(ValueError, match="overflow"):
+        dist_csr.dist_aij_from_coo(r, c, v, n, mesh1d, cap=1)

@@ -122,21 +122,14 @@ def test_dia_spmm_pallas_interpret(rng):
     )
 
 
-def test_dist_ell_matmat(rng):
+def test_dist_aij_matmat(rng):
     from saddle_point_petsc_tpu.parallel import dist_csr
 
     a = _random_csr(rng, m=37)
     mesh = dist_csr.make_mesh_1d(8)
-    A = dist_csr.dist_ell_from_scipy(a, mesh)
+    A = dist_csr.dist_aij_from_scipy(a, mesh)
     k = 3
     X = rng.standard_normal((37, k))
-    Xp = np.zeros((A.n_pad, k))
-    Xp[:37] = X
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    Xs = jax.device_put(
-        jnp.asarray(Xp), NamedSharding(mesh, P(dist_csr.SHARD, None))
-    )
+    Xs = dist_csr.pad_vector(X, A.n_pad, mesh)
     Y = np.asarray(A.matmat(Xs))[:37]
     np.testing.assert_allclose(Y, a.toarray() @ X, rtol=1e-11)
