@@ -16,6 +16,11 @@ Flags follow the reference/PETSc names:
   -ksp_converged_reason           (see solvers/ksp.py for the full set)
   -A_mat_view -f_vec_view -solution_view     object viewers (ref
                                   SaddlePointProblem.c:20,62-63)
+  -mat_stencil_backend {xla,pallas}  SpMV kernel for the stencil operator
+  -dist                           distribute over all attached devices
+                                  (SPMD assembly + halo-exchange SpMV)
+  -mesh <py,px>                   device-mesh shape for -dist (default:
+                                  PETSC_DECIDE near-square factorization)
   -vtk <path>                     VTK output file (default test.vtk,
                                   ref SaddlePointProblem.c:22)
   -no_vtk                         skip VTK output
@@ -26,6 +31,22 @@ from __future__ import annotations
 
 import sys
 import time
+
+
+class _DistProb:
+    """Distributed problem wrapper exposing the serial problem surface the
+    CLI consumes (A, f, coords for VTK)."""
+
+    def __init__(self, A, f, mask, nex, ney, dtype):
+        self.A, self.f, self.bc_mask = A, f, mask
+        self.nex, self.ney = nex, ney
+        self._dtype = dtype
+
+    @property
+    def coords(self):
+        from saddle_point_petsc_tpu.models import fem
+
+        return fem.uniform_node_coords(self.nex, self.ney, dtype=self._dtype)
 
 
 def main(argv=None):
@@ -64,15 +85,42 @@ def main(argv=None):
     problem_type = opts.get_str("problem_type", "poisson")
 
     body_force = opts.get_str("body_force", "constant")
+    backend = opts.get_str("mat_stencil_backend", "xla")
+    distributed = opts.get_bool("dist")
+    grid = None
     with log.phase("Assembly"):
-        if problem_type == "saddle":
+        if distributed:
+            # configs 4-5: SPMD assembly + halo-exchange operators over a
+            # device mesh (-mesh py,px overrides PETSC_DECIDE)
+            from saddle_point_petsc_tpu.models import fem
+            from saddle_point_petsc_tpu.parallel import dist as pdist
+            from saddle_point_petsc_tpu.parallel.mesh import make_mesh
+
+            mesh_str = opts.get_str("mesh", "")
+            shape = (
+                tuple(int(t) for t in mesh_str.split(",")) if mesh_str else None
+            )
+            mesh = make_mesh(shape=shape, ny=my, nx=mx)
+            grid = pdist.DistGrid.create(nex, ney, mesh)
+            if problem_type == "saddle":
+                A, b, mask = pdist.assemble_saddle_dist(
+                    grid, dtype=dtype, body_force=body_force
+                )
+                prob = _DistProb(A.A, b[0], mask, nex, ney, dtype)
+            else:
+                A, f, mask = pdist.assemble_poisson_dist(
+                    grid, dtype=dtype, body_force=body_force
+                )
+                b = f
+                prob = _DistProb(A, f, mask, nex, ney, dtype)
+        elif problem_type == "saddle":
             prob = saddle.assemble_saddle(
-                nex, ney, dtype=dtype, body_force=body_force
+                nex, ney, dtype=dtype, body_force=body_force, backend=backend
             )
             A, b = prob.K, prob.rhs
         else:
             prob = poisson.assemble_poisson(
-                nex, ney, dtype=dtype, body_force=body_force
+                nex, ney, dtype=dtype, body_force=body_force, backend=backend
             )
             A, b = prob.A, prob.f
         jax.block_until_ready(prob.f)
@@ -120,6 +168,8 @@ def main(argv=None):
     if not opts.get_bool("no_vtk"):
         path = opts.get_str("vtk", "test.vtk")
         with log.phase("WriteVTK"):
+            if distributed:
+                u = u[:, :my, :mx]  # crop mesh-divisibility padding
             vtk.write_vtk(path, prob.coords, u)
 
     if opts.get_bool("log_view"):

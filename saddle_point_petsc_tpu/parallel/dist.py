@@ -83,16 +83,28 @@ def _planes_matvec_region(planes, xpT):
     return planes_matvec_padded(planes, xpT)
 
 
-def _local_matvec(planes, x):
+def _local_matvec(planes, x, backend="xla"):
     """Per-device stencil matvec with halo overlap (runs inside shard_map).
 
     planes: local (4, 3, 3, my, mx); x: local canonical (2, my, mx).  The
     halo ppermutes are issued first; the interior contraction depends only
     on local x so XLA overlaps it with the exchange (BASELINE.md config 4).
     No layout changes anywhere on the hot path.
+
+    backend="pallas" runs the local contraction as the explicit
+    double-buffered Pallas kernel on the halo-padded field — the
+    distributed halo-overlap Pallas SpMV of the north star.
     """
     my, mx = x.shape[-2:]
     xp = halo_exchange(x)  # (2, my+2, mx+2): ppermutes issued first
+    if backend == "pallas":
+        from saddle_point_petsc_tpu.ops.pallas.spmv import (
+            stencil_spmv_pallas_padded,
+        )
+
+        return stencil_spmv_pallas_padded(
+            planes, xp, interpret=jax.default_backend() != "tpu"
+        )
     if my > 2 and mx > 2:
         y = jnp.zeros((2, my, mx), x.dtype)
         # interior: needs only local x (overlappable with the ppermutes)
@@ -123,6 +135,11 @@ class DistStencilOperator:
 
     planes: Any  # (4, 3, 3, ny, nx) sharded on the grid dims
     mesh: Mesh  # static
+    backend: str = "xla"  # static: "xla" | "pallas"
+    # true (unpadded) node counts when the grid was padded to divide the
+    # mesh; None = the whole grid is active.  Consumed by PCs that need
+    # the real domain (distributed MG's crop/pad interface).
+    active_shape: Any = None  # static: (nyt, nxt) | None
 
     @property
     def grid_shape(self):
@@ -133,12 +150,23 @@ class DistStencilOperator:
         ny, nx = self.grid_shape
         return ny * nx * 2
 
+    @property
+    def nnz(self):
+        """Stored stencil entries (bandwidth-relevant count)."""
+        return self.planes.size
+
+    def with_backend(self, backend):
+        return dataclasses.replace(self, backend=backend)
+
     def matvec_field(self, x):
         fn = jax.shard_map(
-            _local_matvec,
+            partial(_local_matvec, backend=self.backend),
             mesh=self.mesh,
             in_specs=(P(None, None, None, GY, GX), P(None, GY, GX)),
             out_specs=P(None, GY, GX),
+            # pallas_call in interpret mode doesn't propagate vma yet
+            # (jax-ml/jax: "pass check_vma=False as a temporary workaround")
+            check_vma=self.backend != "pallas",
         )
         return fn(self.planes, x)
 
@@ -167,7 +195,7 @@ class DistStencilOperator:
 
 jax.tree_util.register_pytree_node(
     DistStencilOperator,
-    lambda o: ((o.planes,), (o.mesh,)),
+    lambda o: ((o.planes,), (o.mesh, o.backend, o.active_shape)),
     lambda m, d: DistStencilOperator(*d, *m),
 )
 
@@ -314,7 +342,59 @@ def assemble_poisson_dist(
         ),
     )
     planes, f, mask, bc = fn(jnp.zeros((1,), dtype))
-    return DistStencilOperator(planes, grid.mesh), f, mask
+    A = DistStencilOperator(
+        planes, grid.mesh, active_shape=(grid.ney + 1, grid.nex + 1)
+    )
+    return A, f, mask
+
+
+def patch_truncate(A: DistStencilOperator) -> DistStencilOperator:
+    """Zero every stencil entry that couples across a patch boundary.
+
+    The result is block-diagonal over device patches (zero-Dirichlet
+    truncation) — the operator underlying distributed block-Jacobi, the
+    TPU equivalent of PETSc's parallel default PCBJACOBI with one block
+    per rank (ref SaddlePointProblem.c:67 SetFromOptions semantics:
+    bjacobi+ILU in parallel)."""
+
+    def local(p):
+        # planes (4, 3, 3, my, mx): entry (., dj, di, j, i) couples node
+        # (j, i) to (j+dj-1, i+di-1); zero entries reaching outside
+        p = p.at[:, 0, :, 0, :].set(0.0)
+        p = p.at[:, 2, :, -1, :].set(0.0)
+        p = p.at[:, :, 0, :, 0].set(0.0)
+        p = p.at[:, :, 2, :, -1].set(0.0)
+        return p
+
+    fn = jax.shard_map(
+        local,
+        mesh=A.mesh,
+        in_specs=P(None, None, None, GY, GX),
+        out_specs=P(None, None, None, GY, GX),
+    )
+    return DistStencilOperator(fn(A.planes), A.mesh, A.backend, A.active_shape)
+
+
+def dist_block_jacobi(A: DistStencilOperator, iters=8):
+    """Distributed block-Jacobi: one block per device patch, solved
+    approximately by fixed Chebyshev iterations on the patch-truncated
+    operator (inner-product-free -> zero collectives per application;
+    the truncated matvec's halo entries are dead data).
+
+    Linear and symmetric for symmetric A, so valid under CG/MINRES —
+    unlike an inner-CG block solve.  Replaces round-1's dense
+    block_jacobi for distributed operators (VERDICT weak #3: (n/nb)^2
+    dense blocks cannot scale)."""
+    from saddle_point_petsc_tpu.solvers import precond
+
+    At = patch_truncate(A)
+    inner = precond.jacobi(At)
+    ny, nx = A.grid_shape
+    tmpl = jnp.zeros((2, ny, nx), A.planes.dtype)
+    est = float(precond.estimate_lmax(At, M=inner, template=tmpl))
+    return precond.chebyshev_pc(
+        At, inner=inner, lmin=0.1 * 1.1 * est, lmax=1.1 * est, iters=iters
+    )
 
 
 def assemble_constraints_dist(grid: DistGrid, mask, dtype=jnp.float64):

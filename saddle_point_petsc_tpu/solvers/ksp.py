@@ -42,11 +42,17 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
     them and "full" for (F)GMRES (matching PETSc's constraint that
     -pc_fieldsplit_schur_fact_type full needs a nonsymmetric-capable KSP).
     """
+    from saddle_point_petsc_tpu.parallel.dist import (
+        DistSaddleOperator,
+        DistStencilOperator,
+        dist_block_jacobi,
+    )
+
     opts = opts if opts is not None else Options()
     if pc_type in ("none", ""):
         return precond.IdentityPC()
 
-    if isinstance(A, SaddleOperator):
+    if isinstance(A, (SaddleOperator, DistSaddleOperator)):
         # block system: only fieldsplit/schur (and none) make sense
         if pc_type != "fieldsplit":
             raise ValueError(
@@ -76,7 +82,7 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
     if pc_type == "pbjacobi":
         return precond.pbjacobi(A)
     if pc_type == "sor":
-        if not isinstance(A, StencilOperator):
+        if not isinstance(A, (StencilOperator, DistStencilOperator)):
             raise ValueError("sor PC requires a stencil operator")
         return precond.sor(
             A,
@@ -84,6 +90,12 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
             sweeps=opts.get_int("pc_sor_its", 1),
         )
     if pc_type == "bjacobi":
+        if isinstance(A, DistStencilOperator):
+            # one block per device patch (PETSc's parallel default:
+            # bjacobi with a local solve per rank, SaddlePointProblem.c:67)
+            return dist_block_jacobi(
+                A, iters=opts.get_int("pc_bjacobi_local_its", 8)
+            )
         nb = opts.get_int("pc_bjacobi_blocks", 4)
         if isinstance(A, StencilOperator):
             return precond.block_jacobi_stencil(A, nb)
@@ -91,6 +103,12 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
             return precond.block_jacobi(A, nb)
         raise ValueError("bjacobi PC requires stencil or CSR operator")
     if pc_type == "ilu":
+        if isinstance(A, DistStencilOperator):
+            # PETSc semantics: parallel "ilu" means bjacobi + per-rank ILU
+            # local solve; our per-patch local solve is Chebyshev-class
+            return dist_block_jacobi(
+                A, iters=opts.get_int("pc_bjacobi_local_its", 8)
+            )
         sweeps = opts.get_int("pc_ilu_sweeps", 6)
         if isinstance(A, StencilOperator):
             from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
@@ -121,12 +139,14 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
         )
     if pc_type == "fieldsplit":
         fs_type = opts.get_str("pc_fieldsplit_type", "additive")
-        if not isinstance(A, StencilOperator):
+        if not isinstance(A, (StencilOperator, DistStencilOperator)):
             raise ValueError("fieldsplit PC requires a stencil operator")
         return precond.fieldsplit(A, fs_type=fs_type)
     if pc_type == "mg":
-        from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
+        from saddle_point_petsc_tpu.solvers.multigrid import mg_pc, mg_pc_dist
 
+        if isinstance(A, DistStencilOperator):
+            return mg_pc_dist(A, opts)
         return mg_pc(A, opts)
     raise ValueError(f"unknown pc_type {pc_type!r}")
 

@@ -233,6 +233,65 @@ jax.tree_util.register_pytree_node(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class DistMGPC:
+    """Geometric multigrid on a padded distributed grid.
+
+    The distributed operator's grid is padded to divide the device mesh
+    (identity rows, parallel/dist.py), which breaks the odd-node-count
+    nesting MG needs.  This wrapper solves the two regions exactly as the
+    operator decouples them (the true-domain boundary is
+    Dirichlet-eliminated, so active and padding never couple):
+
+    - active (nyt, nxt) region: a standard MGPC hierarchy whose stencil
+      ops run on the globally *sharded* planes under plain jit — the XLA
+      SPMD partitioner inserts the halo collectives for the shifted-slice
+      stencils, restrictions and prolongations (no shard_map divisibility
+      constraints on the coarse grids);
+    - padding region: identity rows, exact solve z = r.
+
+    Symmetric and linear (valid under CG/MINRES).
+    """
+
+    inner: "MGPC"  # hierarchy on the active region
+    active: tuple  # (nyt, nxt) static
+    pad_shape: tuple  # full padded (ny, nx) static
+
+    def __call__(self, r):
+        nyt, nxt = self.active
+        ny, nx = self.pad_shape
+        z_act = self.inner(r[:, :nyt, :nxt])
+        z = jnp.pad(z_act, ((0, 0), (0, ny - nyt), (0, nx - nxt)))
+        if ny > nyt:
+            z = z.at[:, nyt:, :].set(r[:, nyt:, :])
+        if nx > nxt:
+            z = z.at[:, :, nxt:].set(r[:, :, nxt:])
+        return z
+
+
+jax.tree_util.register_pytree_node(
+    DistMGPC,
+    lambda m: ((m.inner,), (m.active, m.pad_shape)),
+    lambda meta, d: DistMGPC(*d, *meta),
+)
+
+
+def mg_pc_dist(A, opts=None, **kw) -> "DistMGPC | MGPC":
+    """Multigrid for a DistStencilOperator.
+
+    The hierarchy is built from the operator's (sharded) active-region
+    planes; all cycle ops are global-array ops partitioned by XLA.  When
+    the grid has no padding this degenerates to the plain MGPC on the
+    sharded planes."""
+    ny, nx = A.grid_shape
+    nyt, nxt = A.active_shape or (ny, nx)
+    act = StencilOperator(A.planes[..., :nyt, :nxt])
+    inner = mg_pc(act, opts, **kw)
+    if (nyt, nxt) == (ny, nx):
+        return inner
+    return DistMGPC(inner, (nyt, nxt), (ny, nx))
+
+
 def mg_pc(
     A: StencilOperator,
     opts=None,

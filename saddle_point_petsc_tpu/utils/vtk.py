@@ -23,14 +23,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def _gather_host(x):
+    """Fetch a (possibly multi-host-sharded) array to every host.
+
+    Single-host: np.asarray gathers across local devices.  Multi-host: a
+    sharded array's remote shards are NOT addressable, so gather via
+    multihost_utils.process_allgather first — the TPU-pod replacement for
+    the reference's MPI-IO token ring (ref Visulaization.c:146-173)."""
+    if x is None:
+        return None
+    try:
+        import jax
+
+        if isinstance(x, jax.Array) and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+    except (ImportError, AttributeError, TypeError):
+        pass
+    return np.asarray(x)
+
+
 def write_vtk(path, coords, u=None, title="saddle_point_petsc_tpu output"):
     """Write a legacy VTK POLYDATA file.
 
     coords: (ny, nx, 2) node coordinates; u: optional (ny, nx, 2) solution
     field written as a POINT_DATA vector (Ux, Uy, 0).
-    Host-side single-writer (gathers device/sharded arrays via np.asarray).
+    Host gather -> process-0 single writer (multihost-safe).
     """
-    coords = np.asarray(coords)
+    import jax
+
+    coords = _gather_host(coords)
+    u = _gather_host(u)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path  # gathered collectively; only process 0 writes
     ny, nx = coords.shape[:2]
     if u is not None:
         u = np.asarray(u)

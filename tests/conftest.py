@@ -19,6 +19,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the distributed (8-fake-device) solver programs
+# take minutes to partition+compile; cache hits make suite reruns fast
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

@@ -167,3 +167,98 @@ def test_dist_jacobi_pc(mesh24):
     M = precond.JacobiPC(1.0 / jnp.where(d == 0, 1.0, d))
     res = krylov.cg(A, f, M=M, rtol=1e-10, maxiter=500)
     assert res.converged_reason > 0
+
+
+@pytest.mark.parametrize("pc_type", ["pbjacobi", "sor", "fieldsplit"])
+def test_dist_pc_iterate_parity(mesh24, pc_type):
+    """The same PC on the distributed operator must reproduce the serial
+    iterate count (±1, roundoff in reduction order) — VERDICT round-1
+    item 3 'done' criterion."""
+    from saddle_point_petsc_tpu.solvers.ksp import make_pc
+
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    A, f, _ = dist.assemble_poisson_dist(grid)
+    ref = poisson.assemble_poisson(15, 15)
+    M_d = make_pc(pc_type, A)
+    M_s = make_pc(pc_type, ref.A)
+    res_d = krylov.cg(A, f, M=M_d, rtol=1e-10, maxiter=500)
+    res_s = krylov.cg(ref.A, ref.f, M=M_s, rtol=1e-10, maxiter=500)
+    assert res_d.converged_reason > 0
+    assert abs(int(res_d.iterations) - int(res_s.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res_d.x), np.asarray(res_s.x), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_dist_block_jacobi_pc(mesh24):
+    """Per-patch block-Jacobi (PETSc parallel-default analog): symmetric,
+    linear, and cuts CG iterations vs plain Jacobi."""
+    from saddle_point_petsc_tpu.solvers import precond
+
+    grid = dist.DistGrid.create(23, 23, mesh24)
+    A, f, _ = dist.assemble_poisson_dist(grid)
+    M = dist.dist_block_jacobi(A, iters=6)
+    # symmetry of the PC (required for CG): <M r1, r2> == <r1, M r2>
+    r1 = shard_field(jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, grid.ny, grid.nx))), mesh24)
+    r2 = shard_field(jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, grid.ny, grid.nx))), mesh24)
+    lhs = float(jnp.vdot(M(r1), r2))
+    rhs = float(jnp.vdot(r1, M(r2)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+    res_bj = krylov.cg(A, f, M=M, rtol=1e-10, maxiter=500)
+    from saddle_point_petsc_tpu.solvers.precond import jacobi
+
+    res_j = krylov.cg(A, f, M=jacobi(A), rtol=1e-10, maxiter=500)
+    assert res_bj.converged_reason > 0
+    assert int(res_bj.iterations) < int(res_j.iterations)
+
+
+def test_dist_mg_iterate_parity(mesh24):
+    """Distributed geometric MG (crop/pad over the padded grid, sharded
+    hierarchy partitioned by XLA) matches the serial MG iterate count."""
+    from saddle_point_petsc_tpu.solvers.multigrid import mg_pc, mg_pc_dist
+
+    nex = 32  # 33x33 true nodes -> padded to 34x36 on the (2,4) mesh
+    grid = dist.DistGrid.create(nex, nex, mesh24)
+    A, f, _ = dist.assemble_poisson_dist(grid)
+    assert A.active_shape == (33, 33)
+    M_d = mg_pc_dist(A)
+    res_d = krylov.cg(A, f, M=M_d, rtol=1e-10, maxiter=100)
+
+    ref = poisson.assemble_poisson(nex, nex)
+    M_s = mg_pc(ref.A)
+    res_s = krylov.cg(ref.A, ref.f, M=M_s, rtol=1e-10, maxiter=100)
+    assert res_d.converged_reason > 0
+    assert abs(int(res_d.iterations) - int(res_s.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res_d.x)[:, :33, :33], np.asarray(res_s.x),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_dist_schur_kkt_iterate_parity(mesh24):
+    """Distributed KKT + Schur fieldsplit with a strong inner solve matches
+    the serial iterate count — the flagship PC proven under shard_map."""
+    from saddle_point_petsc_tpu.solvers import precond
+
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    K, rhs, _ = dist.assemble_saddle_dist(grid, body_force="trig")
+    ref = saddle.assemble_saddle(15, 15, body_force="trig")
+
+    def run(K, rhs, A):
+        inner0 = precond.jacobi(A)
+        est = float(precond.estimate_lmax(A, M=inner0, template=K.Bf[0]))
+        inner = precond.chebyshev_pc(
+            A, inner=inner0, lmin=0.11 * est, lmax=1.1 * est, iters=3
+        )
+        M = precond.schur_pc(A, K.Bf, inner, fact_type="diag")
+        return krylov.minres(K, rhs, M=M, rtol=1e-9, maxiter=1000)
+
+    res_d = run(K, rhs, K.A)
+    res_s = run(ref.K, ref.rhs, ref.A)
+    assert res_d.converged_reason > 0
+    assert abs(int(res_d.iterations) - int(res_s.iterations)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res_d.x[0]), np.asarray(res_s.x[0]), rtol=1e-4, atol=1e-8
+    )
