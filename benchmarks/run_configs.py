@@ -148,6 +148,86 @@ def config3_mg():
     )
 
 
+def config3_bsr():
+    """Config 3 exactly as BASELINE.md words it: the A block stored AND
+    applied as BSR 2x2 blocks (dof-interleaved DMDA layout), FGMRES outer
+    with an MG Schur inner solve.  Also records the raw BSR vs stencil
+    SpMV throughput so the formats can be compared on the same operator
+    (the stencil form needs no index arrays and usually wins on TPU;
+    both numbers are kept per VERDICT round-1 item 6)."""
+    import numpy as np
+
+    from saddle_point_petsc_tpu.models import poisson, saddle
+    from saddle_point_petsc_tpu.ops import sparse as sp
+    from saddle_point_petsc_tpu.ops.stencil import field_to_flat
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+    from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
+
+    dtype = (
+        jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
+    )
+    rtol = 1e-5 if dtype == jnp.float32 else 1e-8
+    n = 256
+    prob = saddle.assemble_saddle(n, n, dtype=dtype, body_force="trig")
+    csr, _, _, _ = poisson.assemble_poisson_csr(n, n, dtype=dtype)
+    bsr = sp.csr_to_bsr(csr, block=2)
+    B = prob.K.B  # (4, nrows) dense constraint rows, natural ordering
+    d = sp.csr_extract_diagonal(csr)
+    dinv = 1.0 / jnp.where(d == 0, 1.0, d)
+    S_inv = precond.inv_small(-jnp.einsum("mi,i,ki->mk", B, dinv, B))
+    mg = mg_pc(prob.A)  # hierarchy from the stencil planes (setup only)
+
+    def K(v):
+        u, lam = v
+        return (sp.bsr_matvec(bsr, u) + B.T @ lam, B @ u)
+
+    def M(r):
+        ru, rlam = r
+        yu = mg(ru)
+        zlam = S_inv @ (rlam - B @ yu)
+        zu = yu - mg(B.T @ zlam)
+        return (zu, zlam)
+
+    rhs = (field_to_flat(prob.f), prob.g)
+
+    def solve(rhs):
+        return krylov.fgmres(K, rhs, M=M, rtol=rtol, maxiter=200, restart=30)
+
+    _timed(solve, rhs)
+    dt, res = _timed(solve, rhs)
+
+    # raw SpMV throughput, BSR vs stencil, same operator
+    nnz = int(bsr.nnzb) * 4
+
+    def chain(mv, x, reps=50):
+        @jax.jit
+        def run(x):
+            return jnp.sum(
+                jax.lax.fori_loop(
+                    0, reps, lambda i, v: mv(v / jnp.float32(n)), x
+                )
+            )
+
+        _timed(run, x)
+        t, _ = _timed(run, x)
+        return nnz * reps / t
+
+    u0 = field_to_flat(prob.f)
+    bsr_nnz_s = chain(lambda v: sp.bsr_matvec(bsr, v), u0)
+    sten_nnz_s = chain(
+        lambda v: prob.A.matvec(v), u0
+    )  # flat in/out for apples-to-apples
+    _report(
+        "3bsr:256x256-fgmres-mgschur-bsr", dt, int(res.iterations),
+        float(res.rnorm / res.rnorm0),
+        {
+            "dtype": str(dtype.__name__),
+            "bsr_nnz_per_s": bsr_nnz_s,
+            "stencil_nnz_per_s": sten_nnz_s,
+        },
+    )
+
+
 def config4():
     """~1M-row KKT, patch-partitioned over the attached device mesh,
     halo-overlap SpMV (BASELINE config 4; per-chip numbers on 1 chip)."""
@@ -199,9 +279,9 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--configs"):
             which = a.split("=", 1)[1] if "=" in a else None
-    sel = (which or "1,2,3,3mg,4").split(",")
+    sel = (which or "1,2,3,3mg,3bsr,4").split(",")
     fns = {"1": config1, "2": config2, "3": config3, "3mg": config3_mg,
-           "4": config4}
+           "3bsr": config3_bsr, "4": config4}
     for k in sel:
         fns[k.strip()]()
 

@@ -94,11 +94,14 @@ def stencil_spmv_pallas_padded(planes, xp, bm=32, interpret=False):
     if ny % bm or bm % 8:
         bm = ny  # fallback: single block (small/odd grids)
     grid = (ny // bm,)
-    # window extent rounded up to the 8-sublane tile; slack rows keep the
-    # last DMA window in bounds
+    # Mosaic DMA slices must be tile-aligned: window extent rounded up to
+    # the 8-sublane tile (slack rows keep the last window in bounds), and
+    # the lane dim padded to a multiple of 128 (the DMA copies full rows;
+    # the kernel only reads the first nx+2 columns)
     wrows = -(-(bm + 2) // 8) * 8 if grid[0] == 1 else bm + 8
     slack = wrows + (grid[0] - 1) * bm - (ny + 2)
-    xp = jnp.pad(xp, ((0, 0), (0, slack), (0, 0)))
+    lpad = -(-(nx + 2) // 128) * 128 - (nx + 2)
+    xp = jnp.pad(xp, ((0, 0), (0, slack), (0, lpad)))
     # under shard_map the output varies over the same mesh axes as x
     vma = getattr(jax.typeof(xp), "vma", frozenset())
     out_shape = jax.ShapeDtypeStruct((2, ny, nx), xp.dtype, vma=vma)
@@ -118,7 +121,7 @@ def stencil_spmv_pallas_padded(planes, xp, bm=32, interpret=False):
             (2, bm, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, wrows, nx + 2), xp.dtype),
+            pltpu.VMEM((2, 2, wrows, xp.shape[-1]), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -113,3 +113,43 @@ def test_make_pc_fieldsplit_options(kkt16):
     M = make_pc("fieldsplit", kkt16.K, opts)
     res = krylov.fgmres(kkt16.K, kkt16.rhs, M=M, rtol=1e-8, maxiter=200)
     assert res.converged_reason > 0
+
+
+def test_bsr_kkt_end_to_end(kkt16):
+    """BASELINE config 3 'as written': the A block stored and applied as
+    BSR 2x2 blocks, FGMRES + MG-Schur, matching the stencil-path solution
+    (VERDICT round-1 item 6)."""
+    from saddle_point_petsc_tpu.models import poisson
+    from saddle_point_petsc_tpu.ops.stencil import field_to_flat
+    from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
+
+    csr, _, _, _ = poisson.assemble_poisson_csr(16, 16)
+    bsr = sp.csr_to_bsr(csr, block=2)
+    B = kkt16.K.B
+    d = sp.csr_extract_diagonal(csr)
+    dinv = 1.0 / jnp.where(d == 0, 1.0, d)
+    S_inv = precond.inv_small(-jnp.einsum("mi,i,ki->mk", B, dinv, B))
+    mg = mg_pc(kkt16.A)
+
+    def K(v):
+        u, lam = v
+        return (sp.bsr_matvec(bsr, u) + B.T @ lam, B @ u)
+
+    def M(r):
+        ru, rlam = r
+        yu = mg(ru)
+        zlam = S_inv @ (rlam - B @ yu)
+        return (yu - mg(B.T @ zlam), zlam)
+
+    rhs = (field_to_flat(kkt16.f), kkt16.g)
+    res = krylov.fgmres(K, rhs, M=M, rtol=1e-10, maxiter=100)
+    assert res.converged_reason > 0
+    # parity with the stencil-form KKT solve
+    ref = krylov.minres(
+        kkt16.K, kkt16.rhs, M=precond.schur_pc(kkt16.A, kkt16.Bf,
+        fact_type="diag"), rtol=1e-10, maxiter=2000,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x[0]), np.asarray(fflat(ref.x[0])),
+        rtol=1e-6, atol=1e-9,
+    )
