@@ -81,6 +81,41 @@ def test_gmres_iterate_count_parity():
     assert abs(ours - ref) <= max(0.2 * ref, 3), (ours, ref)
 
 
+def test_iterate_count_goldens_pinned():
+    """Committed iterate-count goldens (tests/goldens/iterate_counts.json):
+    exact regression pins for OUR counts (+-1 reduction roundoff) and the
+    +-20% window against the recorded scipy oracle counts.  Freezes the
+    PETSc norm/stopping conventions against silent drift (VERDICT round-1
+    item 9; true PETSc goldens need an external PETSc run — provenance
+    documented in the JSON)."""
+    import json
+    import pathlib
+
+    g = json.loads(
+        (pathlib.Path(__file__).parent / "goldens/iterate_counts.json")
+        .read_text()
+    )
+    for nex in (8, 16, 32):
+        prob = poisson.assemble_poisson(nex, nex)
+        r = krylov.cg(
+            prob.A, prob.f, rtol=1e-8, maxiter=4000,
+            norm_type="unpreconditioned",
+        )
+        pin = g[f"poisson{nex}_cg"]
+        assert abs(int(r.iterations) - pin["ours"]) <= 1
+        assert abs(int(r.iterations) - pin["scipy"]) <= max(
+            0.2 * pin["scipy"], 2
+        )
+        r = krylov.minres(prob.A, prob.f, rtol=1e-8, maxiter=4000)
+        assert abs(int(r.iterations) - g[f"poisson{nex}_minres"]["ours"]) <= 1
+    prob = saddle.assemble_saddle(64, 64, body_force="trig")
+    from saddle_point_petsc_tpu.solvers import precond
+
+    M = precond.schur_pc(prob.A, prob.Bf, fact_type="diag")
+    r = krylov.minres(prob.K, prob.rhs, M=M, rtol=1e-8, maxiter=4000)
+    assert abs(int(r.iterations) - g["kkt64_minres_schurdiag"]["ours"]) <= 2
+
+
 def test_golden_default_run():
     """The reference's default problem (3x3 elements, f=(1,2), zero BCs).
 
