@@ -204,6 +204,10 @@ def bench_scaling_subprocess(n_nodes=512, reps=20, timeout=900):
 def main():
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    # NOTE: do NOT enable the persistent compile cache here — on the
+    # tunneled axon backend cache-deserialized executables break the
+    # host-fetch synchronization this harness times with (measured 3.5x
+    # above the HBM roofline = impossible; and 14x below in a mixed run).
     n = int(os.environ.get("BENCH_N", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "100"))
     nnz_per_s, sol, dt, nnz = bench_spmv(n_nodes=n, reps=reps)

@@ -51,14 +51,19 @@ def measure(n_nodes=512, reps=20, ndev=None):
         A, f, _ = dist.assemble_poisson_dist(grid, dtype=jnp.float32)
         x = shard_field(jnp.asarray(np.asarray(f)), mesh)
         # pre-scale spectral radius < 1 so the timed loop is a PURE
-        # matvec chain (same protocol as bench.py)
-        y = x / jnp.sqrt(jnp.sum(x * x))
-        for _ in range(8):
-            y = A.matvec_field(y)
-            y = y / jnp.sqrt(jnp.sum(y * y))
-        lmax = float(jnp.sum(y * A.matvec_field(y)))
-        A = dist.DistStencilOperator(A.planes / (1.05 * lmax), mesh)
-        x = y
+        # matvec chain (same protocol as bench.py); one jitted program —
+        # eager shard_map dispatch recompiles per op
+        @jax.jit
+        def prescale(A, x):
+            def body(_, y):
+                y = A.matvec_field(y)
+                return y / jnp.sqrt(jnp.sum(y * y))
+
+            y = jax.lax.fori_loop(0, 8, body, x / jnp.sqrt(jnp.sum(x * x)))
+            return A.planes / (1.05 * jnp.sum(y * A.matvec_field(y))), y
+
+        planes_s, x = prescale(A, x)
+        A = dist.DistStencilOperator(planes_s, mesh)
 
         @jax.jit
         def chain(A, x, r):
@@ -85,8 +90,17 @@ def measure(n_nodes=512, reps=20, ndev=None):
         "scaling_grid": f"{n_nodes}x{n_nodes}x2dof",
         "scaling_nnz_per_s_1dev": r1,
         "scaling_nnz_per_s_ndev": rn,
-        "scaling_efficiency": rn / (ndev * r1),
-        "scaling_speedup": rn / r1,
+        # All fake devices share ONE host's cores, so the ideal N-device
+        # throughput equals the 1-device throughput (same silicon, same
+        # total work): efficiency is rn/r1, NOT rn/(N*r1).  It measures
+        # the SPMD overhead of our partitioning + halo exchange as
+        # emulated by XLA:CPU; the real 1->N chip ratio needs a
+        # multi-chip slice (north star: >=70% at 2 hosts).
+        "scaling_efficiency": rn / r1,
+        "scaling_efficiency_definition": (
+            "N-dev/1-dev throughput on one shared-core host (ideal 1.0); "
+            "hardware scaling needs real chips"
+        ),
     }
     out.update(measure_aij(n_nodes=min(n_nodes, 512), reps=max(reps // 2, 5)))
     return out

@@ -135,6 +135,56 @@ def stencil_spmv_pallas(planes, xT, bm=32, interpret=False):
     return stencil_spmv_pallas_padded(planes, xp, bm=bm, interpret=interpret)
 
 
+def _ell_kernel(x_ref, colst_ref, valst_ref, o_ref):
+    """ELL-T SpMV block: y[blk] = sum_k vals[k, blk] * x[cols[k, blk]].
+
+    x resident in VMEM; cols/vals arrive transposed (k, n) so each slot k
+    is a lane-parallel gather (tpu dynamic_gather) + multiply-add.
+    """
+    x = x_ref[0]  # (n,)
+    cols = colst_ref[:]  # (k, bn)
+    vals = valst_ref[:]
+    valid = cols >= 0
+    c = jnp.where(valid, cols, 0)
+    xg = jnp.take(x, c.reshape(-1), axis=0).reshape(c.shape)
+    o_ref[:] = jnp.sum(jnp.where(valid, vals, 0.0) * xg, axis=0)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def ell_spmv_pallas(cols_t, vals_t, x, bn=512, interpret=False):
+    """y = A x for ELL storage via a Pallas kernel.
+
+    cols_t/vals_t: (k, n) TRANSPOSED ELL arrays (prepare once at setup —
+    `ell_transpose`); x: (n,).  The whole x stays VMEM-resident; rows are
+    blocked bn to the 128-lane axis; the irregular access is one
+    lane-parallel gather per slot (SURVEY.md §7 hard part (b)).
+    """
+    k, n = cols_t.shape
+    if n % bn:
+        bn = n
+    grid = (n // bn,)
+    out = pl.pallas_call(
+        _ell_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole
+            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x.reshape(1, -1), cols_t, vals_t)
+    return out[0]
+
+
+def ell_transpose(ell):
+    """(n, k) ELL -> (k, n) kernel layout (one-time setup cost)."""
+    return jnp.transpose(ell.cols), jnp.transpose(ell.vals)
+
+
 def _dia_kernel(xp_ref, data_ref, o_ref, *, offsets, bn, maxoff):
     i = pl.program_id(0)
     data = data_ref[:]  # (ndiag, bn)

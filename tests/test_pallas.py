@@ -110,6 +110,25 @@ def test_dist_stencil_pallas_backend(rng):
     np.testing.assert_allclose(y_pal, y_xla, rtol=1e-12, atol=1e-12)
 
 
+def test_ell_pallas_kernel_matches_scipy(rng):
+    from saddle_point_petsc_tpu.ops.pallas.spmv import (
+        ell_spmv_pallas,
+        ell_transpose,
+    )
+
+    a = sps.random(96, 96, density=0.1, random_state=4, format="csr")
+    a = a + sps.eye(96)
+    ell = sp.csr_to_ell(sp.scipy_to_csr(a.tocsr()))
+    ct, vt = ell_transpose(ell)
+    x = jnp.asarray(rng.standard_normal(96))
+    y = np.asarray(ell_spmv_pallas(ct, vt, x, bn=32, interpret=True))
+    np.testing.assert_allclose(y, a @ np.asarray(x), atol=1e-12)
+    # parity with the XLA ELL path
+    np.testing.assert_allclose(
+        y, np.asarray(sp.ell_matvec(ell, x)), atol=1e-12
+    )
+
+
 def test_dia_pallas_kernel_matches_xla(rng):
     prob = poisson.assemble_poisson(7, 7)
     csr = sp.csr_compact(sp.coo_to_csr(stencil_to_coo(prob.A.W)))
