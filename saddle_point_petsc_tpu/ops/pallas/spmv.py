@@ -136,45 +136,50 @@ def stencil_spmv_pallas(planes, xT, bm=32, interpret=False):
 
 
 def _ell_kernel(x_ref, colst_ref, valst_ref, o_ref):
-    """ELL-T SpMV block: y[blk] = sum_k vals[k, blk] * x[cols[k, blk]].
+    """ELL-T SpMV: y = sum_k vals[k, :] * x[cols[k, :]].
 
-    x resident in VMEM; cols/vals arrive transposed (k, n) so each slot k
-    is a lane-parallel gather (tpu dynamic_gather) + multiply-add.
+    Mosaic's 2D gather requires index shape == operand shape, so x is
+    broadcast across the k slots and gathered lane-parallel with the
+    full-width (k, n) index array (tpu dynamic_gather).
     """
-    x = x_ref[0]  # (n,)
-    cols = colst_ref[:]  # (k, bn)
+    cols = colst_ref[:]  # (k, n)
     vals = valst_ref[:]
     valid = cols >= 0
     c = jnp.where(valid, cols, 0)
-    xg = jnp.take(x, c.reshape(-1), axis=0).reshape(c.shape)
+    xb = jnp.broadcast_to(x_ref[0], cols.shape)
+    xg = jnp.take_along_axis(xb, c, axis=1)
     o_ref[:] = jnp.sum(jnp.where(valid, vals, 0.0) * xg, axis=0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
-def ell_spmv_pallas(cols_t, vals_t, x, bn=512, interpret=False):
-    """y = A x for ELL storage via a Pallas kernel.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ell_spmv_pallas(cols_t, vals_t, x, interpret=False):
+    """y = A x for ELL storage via a Pallas kernel (reference kernel).
 
     cols_t/vals_t: (k, n) TRANSPOSED ELL arrays (prepare once at setup —
-    `ell_transpose`); x: (n,).  The whole x stays VMEM-resident; rows are
-    blocked bn to the 128-lane axis; the irregular access is one
-    lane-parallel gather per slot (SURVEY.md §7 hard part (b)).
+    `ell_transpose`); x: (n,).  Each slot k is one lane-parallel
+    dynamic_gather + multiply-add.
+
+    HARDWARE STATUS (measured on v5e, 2026-08): Mosaic's dynamic_gather
+    only gathers within a single vector register along the gather axis
+    ("Not implemented: Multiple source vregs along gather dimension"), so
+    this kernel compiles on hardware only for x widths up to one vreg —
+    arbitrary-n irregular gathers cannot lower on the current TPU stack.
+    This is precisely SURVEY.md §7 hard part (b), and why the PRODUCTION
+    general-sparse paths are gather-free by construction: DIA with RCM
+    reordering (dia_spmv_pallas — shift-only) and the stencil form.  The
+    kernel is kept as the reference ELL schedule, exact in interpret mode,
+    ready for the dynamic_gather generalization when Mosaic lands it.
     """
     k, n = cols_t.shape
-    if n % bn:
-        bn = n
-    grid = (n // bn,)
     out = pl.pallas_call(
         _ell_kernel,
         out_shape=jax.ShapeDtypeStruct((1, n), x.dtype),
-        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x whole
-            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bn), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x.reshape(1, -1), cols_t, vals_t)
     return out[0]
@@ -185,13 +190,16 @@ def ell_transpose(ell):
     return jnp.transpose(ell.cols), jnp.transpose(ell.vals)
 
 
-def _dia_kernel(xp_ref, data_ref, o_ref, *, offsets, bn, maxoff):
+def _dia_kernel(xp_ref, data_ref, o_ref, *, offsets, bn, maxoff, wal):
+    """Mosaic requires ref slices 128-aligned in the lane dim, so each
+    step loads one ALIGNED window [i*bn, i*bn+wal) and applies the
+    per-diagonal (static, possibly unaligned) shifts at value level."""
     i = pl.program_id(0)
     data = data_ref[:]  # (ndiag, bn)
+    xw = xp_ref[:, pl.ds(i * bn, wal)]  # (1, wal); i*bn % 128 == 0
     acc = jnp.zeros((1, bn), data.dtype)
-    base = i * bn + maxoff
     for k, off in enumerate(offsets):
-        seg = xp_ref[:, pl.ds(base + off, bn)]  # (1, bn)
+        seg = xw[:, maxoff + off : maxoff + off + bn]
         acc = acc + data[k : k + 1, :] * seg
     o_ref[:] = acc
 
@@ -201,16 +209,21 @@ def dia_spmv_pallas(data, x, offsets, bn=512, interpret=False):
     """y = A x for DIA storage via a Pallas kernel (shift-only inner loop).
 
     data: (ndiag, n) row-indexed diagonals; x: (n,); offsets: static tuple.
+    bn must be a multiple of 128 (aligned window loads) unless it falls
+    back to a single whole-row block.
     """
     n = x.shape[0]
-    if n % bn:
-        bn = n
+    if n % bn or bn % 128:
+        bn = n  # single block (small/odd sizes)
     maxoff = max((abs(o) for o in offsets), default=0)
-    xp = jnp.pad(x, (maxoff, maxoff)).reshape(1, -1)
+    # aligned window width; pad x so the last window stays in bounds
+    wal = -(-(bn + 2 * maxoff) // 128) * 128
     grid = (n // bn,)
+    need = (grid[0] - 1) * bn + wal
+    xp = jnp.pad(x, (maxoff, need - maxoff - n)).reshape(1, -1)
     out = pl.pallas_call(
         functools.partial(
-            _dia_kernel, offsets=offsets, bn=bn, maxoff=maxoff
+            _dia_kernel, offsets=offsets, bn=bn, maxoff=maxoff, wal=wal
         ),
         out_shape=jax.ShapeDtypeStruct((1, n), x.dtype),
         grid=grid,

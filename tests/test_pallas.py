@@ -121,7 +121,7 @@ def test_ell_pallas_kernel_matches_scipy(rng):
     ell = sp.csr_to_ell(sp.scipy_to_csr(a.tocsr()))
     ct, vt = ell_transpose(ell)
     x = jnp.asarray(rng.standard_normal(96))
-    y = np.asarray(ell_spmv_pallas(ct, vt, x, bn=32, interpret=True))
+    y = np.asarray(ell_spmv_pallas(ct, vt, x, interpret=True))
     np.testing.assert_allclose(y, a @ np.asarray(x), atol=1e-12)
     # parity with the XLA ELL path
     np.testing.assert_allclose(
