@@ -134,6 +134,7 @@ def test_dist_cg_solve_matches_serial(mesh24):
     )
 
 
+@pytest.mark.slow
 def test_dist_saddle_solve(mesh24):
     grid = dist.DistGrid.create(15, 15, mesh24)
     K, rhs, mask = dist.assemble_saddle_dist(grid, body_force="trig")
@@ -150,6 +151,7 @@ def test_dist_saddle_solve(mesh24):
     )
 
 
+@pytest.mark.slow
 def test_dist_constraints_match_serial(mesh24):
     grid = dist.DistGrid.create(15, 15, mesh24)
     A, f, mask = dist.assemble_poisson_dist(grid)
@@ -190,6 +192,7 @@ def test_dist_pc_iterate_parity(mesh24, pc_type):
     )
 
 
+@pytest.mark.slow
 def test_dist_block_jacobi_pc(mesh24):
     """Per-patch block-Jacobi (PETSc parallel-default analog): symmetric,
     linear, and cuts CG iterations vs plain Jacobi."""
@@ -214,6 +217,7 @@ def test_dist_block_jacobi_pc(mesh24):
     assert int(res_bj.iterations) < int(res_j.iterations)
 
 
+@pytest.mark.slow
 def test_dist_mg_iterate_parity(mesh24):
     """Distributed geometric MG (crop/pad over the padded grid, sharded
     hierarchy partitioned by XLA) matches the serial MG iterate count."""
@@ -237,6 +241,7 @@ def test_dist_mg_iterate_parity(mesh24):
     )
 
 
+@pytest.mark.slow
 def test_dist_schur_kkt_iterate_parity(mesh24):
     """Distributed KKT + Schur fieldsplit with a strong inner solve matches
     the serial iterate count — the flagship PC proven under shard_map."""

@@ -32,6 +32,7 @@ def test_dia_format_roundtrip(rng):
     )
 
 
+@pytest.mark.slow
 def test_dia_rcm_reduces_bandwidth(rng):
     # random sparse SPD-ish pattern; RCM must not increase #diagonals
     a = sps.random(60, 60, density=0.06, random_state=2, format="csr")

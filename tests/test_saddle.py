@@ -90,6 +90,7 @@ def test_schur_pc_variants(kkt16, fact):
     assert np.linalg.norm(kd @ x - rhs) / np.linalg.norm(rhs) < 1e-6
 
 
+@pytest.mark.slow
 def test_schur_with_mg_inner_fast(kkt16):
     """Config-2-style: FGMRES outer + Schur PC with an MG inner A-solve
     should converge in a handful of outer iterations."""

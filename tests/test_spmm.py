@@ -69,6 +69,7 @@ def test_bsr_matmat(rng):
     )
 
 
+@pytest.mark.slow
 def test_dia_matmat(problem):
     a, X, Y = problem
     dia, _ = sparse.csr_to_dia(sparse.scipy_to_csr(a))

@@ -2,6 +2,7 @@
 BC elimination, SPD structure."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from helpers import fflat, ffield
 
@@ -20,6 +21,7 @@ def _dense_from_stencil(W):
     return np.asarray(sparse.coo_to_csr(stencil_to_coo(W)).todense())
 
 
+@pytest.mark.slow
 def test_stencil_equals_csr_assembly():
     for nex, ney in [(3, 3), (4, 6)]:
         prob = poisson.assemble_poisson(nex, ney)
