@@ -170,6 +170,40 @@ class DistStencilOperator:
         )
         return fn(self.planes, x)
 
+    def matmat_field(self, X):
+        """Distributed SpMM on batched fields X (k, 2, ny, nx).
+
+        ONE halo exchange ships the (k, 2)-deep edge slabs for all k
+        right-hand sides together, amortizing the ppermute latency the
+        north star pairs with SpMV (BASELINE.json "distributed SpMV/SpMM")."""
+
+        def local(planes, Xl):
+            Xp = halo_exchange(Xl)  # (k, 2, my+2, mx+2): one exchange
+            if self.backend == "pallas":
+                from saddle_point_petsc_tpu.ops.pallas.spmv import (
+                    stencil_spmv_pallas_padded,
+                )
+
+                mv = lambda xp: stencil_spmv_pallas_padded(
+                    planes, xp, interpret=jax.default_backend() != "tpu"
+                )
+            else:
+                from saddle_point_petsc_tpu.ops.stencil import (
+                    planes_matvec_padded,
+                )
+
+                mv = lambda xp: planes_matvec_padded(planes, xp)
+            return jax.vmap(mv)(Xp)
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(None, None, None, GY, GX), P(None, None, GY, GX)),
+            out_specs=P(None, None, GY, GX),
+            check_vma=self.backend != "pallas",
+        )
+        return fn(self.planes, X)
+
     def __call__(self, x):
         return self.matvec_field(x)
 

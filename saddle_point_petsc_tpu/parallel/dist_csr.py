@@ -196,6 +196,16 @@ class DistAIJ:
         isdiag = self.diag_cols == rloc
         return jnp.sum(jnp.where(isdiag, self.diag_vals, 0.0), axis=1)
 
+    def diag_block_operator(self):
+        """The block-diagonal part: offdiag dropped -> shards decouple.
+
+        Its matvec needs NO communication (the ghost exchange ships
+        zero-referenced slots only); this is the operator behind
+        per-shard block-Jacobi (PETSc PCBJACOBI, one block per rank)."""
+        return dataclasses.replace(
+            self, off_vals=jnp.zeros_like(self.off_vals)
+        )
+
 
 jax.tree_util.register_pytree_node(
     DistAIJ,
@@ -309,6 +319,24 @@ def dist_aij_from_scipy(a, mesh: Mesh, dtype=None):
         (m, n),
         n_pad,
         mesh,
+    )
+
+
+def dist_aij_block_jacobi(A: DistAIJ, iters=8):
+    """Per-shard block-Jacobi for DistAIJ: fixed Chebyshev iterations on
+    the (communication-free) block-diagonal operator — linear + symmetric
+    for symmetric A, valid under CG/MINRES.  The general-sparse sibling of
+    parallel/dist.dist_block_jacobi (PETSc parallel-default bjacobi+ILU,
+    ref /root/reference/src/SaddlePointProblem.c:67 SetFromOptions)."""
+    from saddle_point_petsc_tpu.solvers import precond
+
+    Ad = A.diag_block_operator()
+    d = Ad.diagonal()
+    inner = precond.JacobiPC(1.0 / jnp.where(d == 0, 1.0, d))
+    tmpl = jnp.zeros((A.n_pad,), A.diag_vals.dtype)
+    est = float(precond.estimate_lmax(Ad, M=inner, template=tmpl))
+    return precond.chebyshev_pc(
+        Ad, inner=inner, lmin=0.1 * 1.1 * est, lmax=1.1 * est, iters=iters
     )
 
 

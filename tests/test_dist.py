@@ -171,6 +171,20 @@ def test_dist_jacobi_pc(mesh24):
     assert res.converged_reason > 0
 
 
+def test_dist_matmat_matches_serial(mesh24, rng):
+    """Distributed SpMM (one halo exchange for all k RHS) vs serial."""
+    grid = dist.DistGrid.create(15, 15, mesh24)
+    A, f, _ = dist.assemble_poisson_dist(grid)
+    ref = poisson.assemble_poisson(15, 15)
+    X = jnp.asarray(rng.standard_normal((4, 2, 16, 16)))
+    Xs = jax.device_put(
+        X, jax.sharding.NamedSharding(mesh24, P(None, None, GY, GX))
+    )
+    Y_d = np.asarray(jax.jit(A.matmat_field)(Xs))
+    Y_s = np.asarray(ref.A.matmat_field(X))
+    np.testing.assert_allclose(Y_d, Y_s, atol=1e-12)
+
+
 @pytest.mark.parametrize("pc_type", ["pbjacobi", "sor", "fieldsplit"])
 def test_dist_pc_iterate_parity(mesh24, pc_type):
     """The same PC on the distributed operator must reproduce the serial
