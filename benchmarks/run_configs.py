@@ -196,21 +196,24 @@ def config3_bsr():
     _timed(solve, rhs)
     dt, res = _timed(solve, rhs)
 
-    # raw SpMV throughput, BSR vs stencil, same operator
+    # raw SpMV throughput, BSR vs stencil, same operator.  Difference two
+    # repetition counts to cancel the ~1s dispatch/fetch tunnel RTT, and
+    # keep the loop body a pure matvec chain (operator scaled once).
     nnz = int(bsr.nnzb) * 4
 
-    def chain(mv, x, reps=50):
+    def chain(mv, x, reps=100):
+        scale = jnp.asarray(0.05, dtype)  # keep iterates bounded
+
         @jax.jit
-        def run(x):
+        def run(x, r):
             return jnp.sum(
-                jax.lax.fori_loop(
-                    0, reps, lambda i, v: mv(v / jnp.float32(n)), x
-                )
+                jax.lax.fori_loop(0, r, lambda i, v: mv(v) * scale, x)
             )
 
-        _timed(run, x)
-        t, _ = _timed(run, x)
-        return nnz * reps / t
+        _timed(run, x, reps)  # compile+warm
+        t1, _ = _timed(run, x, reps)
+        t2, _ = _timed(run, x, 2 * reps)
+        return nnz * reps / max(t2 - t1, 1e-9)
 
     u0 = field_to_flat(prob.f)
     bsr_nnz_s = chain(lambda v: sp.bsr_matvec(bsr, v), u0)

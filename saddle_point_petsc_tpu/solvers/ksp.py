@@ -90,6 +90,15 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
             sweeps=opts.get_int("pc_sor_its", 1),
         )
     if pc_type == "bjacobi":
+        from saddle_point_petsc_tpu.parallel.dist_csr import (
+            DistAIJ,
+            dist_aij_block_jacobi,
+        )
+
+        if isinstance(A, DistAIJ):
+            return dist_aij_block_jacobi(
+                A, iters=opts.get_int("pc_bjacobi_local_its", 8)
+            )
         if isinstance(A, DistStencilOperator):
             # one block per device patch (PETSc's parallel default:
             # bjacobi with a local solve per rank, SaddlePointProblem.c:67)
@@ -103,9 +112,18 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
             return precond.block_jacobi(A, nb)
         raise ValueError("bjacobi PC requires stencil or CSR operator")
     if pc_type == "ilu":
-        if isinstance(A, DistStencilOperator):
+        from saddle_point_petsc_tpu.parallel.dist_csr import (
+            DistAIJ,
+            dist_aij_block_jacobi,
+        )
+
+        if isinstance(A, (DistStencilOperator, DistAIJ)):
             # PETSc semantics: parallel "ilu" means bjacobi + per-rank ILU
             # local solve; our per-patch local solve is Chebyshev-class
+            if isinstance(A, DistAIJ):
+                return dist_aij_block_jacobi(
+                    A, iters=opts.get_int("pc_bjacobi_local_its", 8)
+                )
             return dist_block_jacobi(
                 A, iters=opts.get_int("pc_bjacobi_local_its", 8)
             )

@@ -127,6 +127,26 @@ def test_dist_aij_block_jacobi(mesh1d, rng):
     np.testing.assert_allclose(a @ x, b, atol=1e-7)
 
 
+def test_dist_aij_through_ksp_options(mesh1d):
+    """DistAIJ drives through the runtime options path (KSP + -pc_type
+    bjacobi), mirroring KSPSetFromOptions on a parallel MATAIJ."""
+    from saddle_point_petsc_tpu.solvers.ksp import KSP
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    a = _poisson2d(16, 16)
+    A = dist_csr.dist_aij_from_scipy(a, mesh1d)
+    b = dist_csr.pad_vector(np.ones(a.shape[0]), A.n_pad, mesh1d)
+    ksp = KSP(
+        Options(["-ksp_type", "cg", "-pc_type", "bjacobi",
+                 "-ksp_rtol", "1e-10"])
+    )
+    ksp.set_operators(A).set_from_options().set_up()
+    res = ksp.solve(b)
+    assert res.converged_reason > 0
+    x = np.asarray(res.x)[: a.shape[0]]
+    np.testing.assert_allclose(a @ x, 1.0, atol=1e-7)
+
+
 def test_exchange_triplets_parity(mesh1d, rng):
     """Device-side stash-and-ship: randomly scattered duplicate COO
     triplets reassemble to the scipy matrix exactly."""
