@@ -113,3 +113,25 @@ def test_saddle_trig_force_nontrivial():
     np.testing.assert_allclose(np.asarray(prob.B) @ u, 0.0, atol=1e-8)
     lam = np.asarray(res.x[1])
     assert np.linalg.norm(lam) > 1e-3
+
+
+def test_cli_dist_mode(tmp_path, capsys, monkeypatch):
+    """-dist routes through SPMD assembly + distributed PCs on the fake
+    8-device mesh and writes the cropped-active-region VTK."""
+    import os
+
+    from saddle_point_petsc_tpu import cli
+    from saddle_point_petsc_tpu.utils.vtk import read_vtk_points
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(
+        ["-dist", "-da_grid_x", "17", "-da_grid_y", "17", "-ksp_type",
+         "cg", "-pc_type", "bjacobi", "-ksp_rtol", "1e-9",
+         "-ksp_converged_reason"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CONVERGED" in out
+    pts, polys, u = read_vtk_points(str(tmp_path / "test.vtk"))
+    assert pts.shape[0] == 17 * 17  # true grid, padding cropped
+    assert u is not None
