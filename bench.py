@@ -73,6 +73,10 @@ def bench_spmv(n_nodes=1024, reps=100, dtype=jnp.float32, backend="xla"):
         return A.planes / (1.05 * lmax), y
 
     planes_scaled, x = prescale(prob.A, prob.f)
+    # fail loudly rather than "benchmark" NaN data (bf16-einsum assembly
+    # corruption at fine grids was caught exactly this way; fem.py _PREC)
+    if not np.isfinite(float(jnp.sum(x))):
+        raise RuntimeError("bench_spmv: non-finite assembly/prescale")
     A = StencilOperator(planes_scaled, backend)
 
     @jax.jit

@@ -33,6 +33,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Assembly/constraint einsums cancel O(1) coordinates down to O(h)
+# entries; on TPU the default matmul precision routes large batched
+# einsums through the MXU in bf16, which zeroes/flips the Jacobian
+# determinant at fine grids (NaN planes at 704^2 f32, measured).
+# HIGHEST forces f32-exact contraction; setup-time cost only.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 DIM = 2
 NODES_PER_ELEMENT = 4
 U_DOF = 2
@@ -108,7 +116,8 @@ def grad_shape_physical(gni, el_coords):
     ref: ConstructQ12D_GNx (Discretization.c:96-128).
     """
     # Jac[c][d] = sum_i GNi[c][i] * coords[i][d]
-    jac = jnp.einsum("...ci,...id->...cd", gni, el_coords)
+    jac = jnp.einsum("...ci,...id->...cd", gni, el_coords,
+                     precision=_PREC)
     det = jac[..., 0, 0] * jac[..., 1, 1] - jac[..., 0, 1] * jac[..., 1, 0]
     inv = (
         jnp.stack(
@@ -120,7 +129,7 @@ def grad_shape_physical(gni, el_coords):
         )
         / det[..., None, None]
     )
-    gnx = jnp.einsum("...cd,...di->...ci", inv, gni)
+    gnx = jnp.einsum("...cd,...di->...ci", inv, gni, precision=_PREC)
     return gnx, det
 
 
@@ -155,7 +164,8 @@ def element_stiffness(el_coords, coeff=None):
     )  # (..., gp, 3, 8)
     fac = w * det * coeff  # (..., gp)
     tildeD = fac[..., None] * jnp.asarray([2.0, 2.0, 1.0], dtype=dtype)
-    ke = jnp.einsum("...pki,...pk,...pkj->...ij", B, tildeD, B)
+    ke = jnp.einsum("...pki,...pk,...pkj->...ij", B, tildeD, B,
+                    precision=_PREC)
     return ke
 
 
@@ -174,10 +184,10 @@ def element_rhs(el_coords, body_force):
     gni = grad_shape_q1(xi)
     _, det = grad_shape_physical(gni, el_coords[..., None, :, :])  # (..., gp)
     # physical gauss coords: x_p = sum_i N_i * coords_i  -> (..., gp, 2)
-    xp = jnp.einsum("pi,...id->...pd", ni, el_coords)
+    xp = jnp.einsum("pi,...id->...pd", ni, el_coords, precision=_PREC)
     fp = body_force(xp)  # (..., gp, 2)
     fac = w * det  # (..., gp)
-    fe = jnp.einsum("...p,pi,...pc->...ic", fac, ni, fp)
+    fe = jnp.einsum("...p,pi,...pc->...ic", fac, ni, fp, precision=_PREC)
     return fe.reshape(*fe.shape[:-2], 8)
 
 

@@ -74,14 +74,16 @@ def assemble_constraints(coords, constraint_fns=None, bc_mask=None):
     ni = fem.shape_q1(xi)  # (gp, 4)
     gni = fem.grad_shape_q1(xi)
     _, det = fem.grad_shape_physical(gni, el_coords[..., None, :, :])
-    xp = jnp.einsum("pi,...id->...pd", ni, el_coords)  # (ney, nex, gp, 2)
+    xp = jnp.einsum("pi,...id->...pd", ni, el_coords,
+                    precision=jax.lax.Precision.HIGHEST)  # (ney, nex, gp, 2)
 
     rows = []
     for fn in constraint_fns:
         wx, wy = fn(xp[..., 0], xp[..., 1])  # (ney, nex, gp)
         wcomp = jnp.stack([wx, wy], axis=-1)  # (ney, nex, gp, 2)
         # per-element nodal weights: (ney, nex, 4 nodes, 2 comps)
-        be = jnp.einsum("...p,pa,...pc->...ac", w * det, ni, wcomp)
+        be = jnp.einsum("...p,pa,...pc->...ac", w * det, ni, wcomp,
+                        precision=jax.lax.Precision.HIGHEST)
         field = jnp.zeros((ny, nx, 2), coords.dtype)
         for a, (aj, ai) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
             field = field.at[aj : aj + ney, ai : ai + nex].add(be[:, :, a])

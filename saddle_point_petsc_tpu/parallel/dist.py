@@ -246,8 +246,10 @@ class DistSaddleOperator:
     def __call__(self, v):
         u, lam = v
         au = self.A(u)
-        btl = jnp.einsum("m,mcyx->cyx", lam, self.Bf)
-        bu = jnp.einsum("mcyx,cyx->m", self.Bf, u)
+        btl = jnp.einsum("m,mcyx->cyx", lam, self.Bf,
+                         precision=jax.lax.Precision.HIGHEST)
+        bu = jnp.einsum("mcyx,cyx->m", self.Bf, u,
+                        precision=jax.lax.Precision.HIGHEST)
         return (au + btl, bu)
 
     @property
@@ -462,14 +464,16 @@ def assemble_constraints_dist(grid: DistGrid, mask, dtype=jnp.float64):
         ni = fem.shape_q1(xi)
         gni = fem.grad_shape_q1(xi)
         _, det = fem.grad_shape_physical(gni, corners[..., None, :, :])
-        xp = jnp.einsum("pi,...id->...pd", ni, corners)
+        xp = jnp.einsum("pi,...id->...pd", ni, corners,
+                        precision=jax.lax.Precision.HIGHEST)
         rows = []
         from saddle_point_petsc_tpu.models.saddle import default_constraints
 
         for fn_c in default_constraints(dtype):
             wx, wy = fn_c(xp[..., 0], xp[..., 1])
             wcomp = jnp.stack([wx, wy], axis=-1)
-            be = jnp.einsum("...p,pa,...pc->...ac", w * det, ni, wcomp)
+            be = jnp.einsum("...p,pa,...pc->...ac", w * det, ni, wcomp,
+                            precision=jax.lax.Precision.HIGHEST)
             be = jnp.where(valid[:, :, None, None], be, 0.0)
             bp = jnp.zeros((2, my + 2, mx + 2), dtype)
             for a, (aj, ai) in enumerate(_NODE_OFF):

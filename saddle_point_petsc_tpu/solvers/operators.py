@@ -16,6 +16,14 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+# Assembly/constraint einsums cancel O(1) coordinates down to O(h)
+# entries; on TPU the default matmul precision routes large batched
+# einsums through the MXU in bf16, which zeroes/flips the Jacobian
+# determinant at fine grids (NaN planes at 704^2 f32, measured).
+# HIGHEST forces f32-exact contraction; setup-time cost only.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 
 @dataclasses.dataclass(frozen=True)
 class SaddleOperator:
@@ -35,8 +43,8 @@ class SaddleOperator:
     def __call__(self, v):
         u, lam = v
         au = self.A(u)
-        btl = jnp.einsum("m,mcyx->cyx", lam, self.Bf)
-        bu = jnp.einsum("mcyx,cyx->m", self.Bf, u)
+        btl = jnp.einsum("m,mcyx->cyx", lam, self.Bf, precision=_PREC)
+        bu = jnp.einsum("mcyx,cyx->m", self.Bf, u, precision=_PREC)
         return (au + btl, bu)
 
     @property

@@ -554,10 +554,12 @@ class SchurPC:
     fact_type: str = "full"
 
     def _Bu(self, u):
-        return jnp.einsum("mcyx,cyx->m", self.Bf, u)
+        return jnp.einsum("mcyx,cyx->m", self.Bf, u,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _Bt(self, lam):
-        return jnp.einsum("m,mcyx->cyx", lam, self.Bf)
+        return jnp.einsum("m,mcyx->cyx", lam, self.Bf,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def __call__(self, r):
         ru, rlam = r
@@ -591,7 +593,8 @@ def schur_pc(A, Bf, inner_solve=None, fact_type="full") -> SchurPC:
     Bf: constraint rows (m, 2, ny, nx)."""
     d = A.diagonal()
     dinv = 1.0 / jnp.where(d == 0, 1.0, d)
-    S = -jnp.einsum("mcyx,cyx,kcyx->mk", Bf, dinv, Bf)  # negative definite
+    S = -jnp.einsum("mcyx,cyx,kcyx->mk", Bf, dinv, Bf,
+                    precision=jax.lax.Precision.HIGHEST)  # negative definite
     S_inv = inv_small(S)
     if inner_solve is None:
         inner_solve = JacobiPC(dinv)

@@ -124,3 +124,28 @@ def test_uniform_coords():
     np.testing.assert_allclose(c[0, 0], [0, 0])
     np.testing.assert_allclose(c[-1, -1], [1, 1])
     np.testing.assert_allclose(c[0, 2], [2 / 3, 0])
+
+
+@pytest.mark.slow
+def test_f32_assembly_finite_and_accurate_at_fine_grid():
+    """f32 assembly at a fine grid stays finite and f64-accurate.
+
+    Regression guard for the TPU bf16-einsum corruption: the Jacobian
+    einsum cancels O(1) coordinates down to O(h) entries, and the default
+    matmul precision routed it through the MXU in bf16 at large batch
+    sizes — dets rounded to <= 0, 71% NaN planes at 704^2 f32 (fixed by
+    Precision.HIGHEST in fem.py; this test pins the invariant on every
+    backend)."""
+    import jax.numpy as jnp
+
+    from saddle_point_petsc_tpu.models import poisson
+
+    prob32 = poisson.assemble_poisson(255, 255, dtype=jnp.float32)
+    p32 = np.asarray(prob32.A.planes)
+    assert np.all(np.isfinite(p32))
+    prob64 = poisson.assemble_poisson(255, 255, dtype=jnp.float64)
+    p64 = np.asarray(prob64.A.planes)
+    # plain-f32 cancellation noise is ~1e-5 relative; bf16 corruption was
+    # O(1)-to-NaN — orders of magnitude beyond this bound
+    rel = np.max(np.abs(p32 - p64)) / np.max(np.abs(p64))
+    assert rel < 1e-4, rel
