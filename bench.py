@@ -123,12 +123,14 @@ def bench_time_to_rtol(n_nodes=256, dtype=jnp.float32):
     return max(t1 - base, 1e-9), int(its), float(rnorm / rnorm0)
 
 
-def bench_refined_kkt(n_nodes=256, rtol=1e-8):
+def bench_refined_kkt(n_nodes=257, rtol=1e-8, inner_kind="fgmres-mg"):
     """Time-to-rtol-1e-8 on the saddle-point KKT (the north-star metric)
     using f32 TPU compute + double-float residual refinement.
 
-    Assembly runs in f64 on the host CPU backend; the inner MINRES+Schur
-    solves and all matvecs run in f32 on the accelerator.
+    Assembly runs in f64 on the host CPU backend; the inner correction
+    solves and all matvecs run in f32 on the accelerator.  inner_kind:
+    "fgmres-mg" (FGMRES outer + multigrid-Schur PC, ~100x fewer inner
+    iterations at 256²) or "minres" (diag-Schur MINRES, round-1 path).
     """
     import numpy as np
 
@@ -157,12 +159,35 @@ def bench_refined_kkt(n_nodes=256, rtol=1e-8):
     Bf_df = df_from_f64(Bf64)
     A32 = StencilOperator(planes_df.hi)
     K32 = SaddleOperator(A32, Bf_df.hi)
-    M = precond.schur_pc(A32, Bf_df.hi, fact_type="diag")
+
+    inner = None
+    inner_ops = None
+    M = None
+    if inner_kind == "fgmres-mg":
+        from saddle_point_petsc_tpu.solvers.multigrid import mg_pc
+
+        Mmg = precond.schur_pc(
+            A32, Bf_df.hi,
+            inner_solve=mg_pc(A32, smoother="chebyshev"),
+            fact_type="full",
+        )
+        inner_ops = (K32, Mmg)
+
+        def inner(ru, rlam, ops):
+            Kt, Mt = ops
+            res = krylov.fgmres(
+                Kt, (ru, rlam), M=Mt, rtol=1e-3, maxiter=60, restart=30
+            )
+            return res.x, res.iterations
+
+    else:
+        M = precond.schur_pc(A32, Bf_df.hi, fact_type="diag")
 
     b_df = (df_from_f64(f64), df_from_f64(g64))
     run = refine.solve_refined_kkt_fused(
         K32, b_df, rtol=rtol, planes_df=planes_df, Bf_df=Bf_df, M=M,
-        inner_rtol=1e-4, inner_maxiter=1500,
+        inner_rtol=1e-4, inner_maxiter=1500, inner=inner,
+        inner_operands=inner_ops,
     )
 
     _sync_scalar(run()[3])  # compile + warm

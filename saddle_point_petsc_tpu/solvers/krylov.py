@@ -482,7 +482,11 @@ def _gmres_impl(
         beta = tnorm(r)
         V = _tree_stack_zeros(b, m + 1)
         Z = _tree_stack_zeros(b, m) if flexible else None
-        V = _basis_set(V, 0, tscale(1.0 / jnp.maximum(beta, eps), r))
+        # guard division only against exact zero — an absolute eps floor
+        # breaks scale invariance (rhs norms below f32 eps, as produced by
+        # iterative-refinement correction solves, would leave v0 unnormalized
+        # and collapse the Arnoldi basis)
+        V = _basis_set(V, 0, tscale(1.0 / jnp.where(beta > 0, beta, 1.0), r))
         H = jnp.zeros((m + 1, m), rdtype)
         cs = jnp.zeros((m,), rdtype)
         sn = jnp.zeros((m,), rdtype)
@@ -512,7 +516,7 @@ def _gmres_impl(
             hnew = tnorm(w)
             Hcol = h.at[j + 1].set(hnew)
             V = _basis_set(
-                V, j + 1, tscale(1.0 / jnp.maximum(hnew, eps), w)
+                V, j + 1, tscale(1.0 / jnp.where(hnew > 0, hnew, 1.0), w)
             )
             # apply previous Givens rotations to the new column
             def rot_body(i, Hcol):
@@ -521,9 +525,8 @@ def _gmres_impl(
                 return Hcol.at[i].set(hi).at[i + 1].set(hip)
 
             Hcol = lax.fori_loop(0, j, rot_body, Hcol)
-            denom = jnp.maximum(
-                jnp.sqrt(Hcol[j] ** 2 + Hcol[j + 1] ** 2), eps
-            )
+            denom = jnp.sqrt(Hcol[j] ** 2 + Hcol[j + 1] ** 2)
+            denom = jnp.where(denom > 0, denom, 1.0)
             c_j = Hcol[j] / denom
             s_j = Hcol[j + 1] / denom
             Hcol = Hcol.at[j].set(denom).at[j + 1].set(0.0)
@@ -541,8 +544,10 @@ def _gmres_impl(
             done, reason = _check_convergence(
                 rnorm, bnorm, rtol, atol, dtol, it, maxiter
             )
-            # happy breakdown
-            done = done | (hnew <= eps * 100.0)
+            # happy breakdown, judged RELATIVE to the column magnitude
+            # (|w_pre|^2 = sum h^2 + hnew^2 since V is orthonormal)
+            hcol = jnp.sqrt(jnp.sum(h * h) + hnew * hnew)
+            done = done | (hnew <= eps * 100.0 * hcol)
             return dict(
                 j=j + 1, V=V, Z=Z, H=H, g=g, cs=cs, sn=sn, it=it,
                 history=history, done=done, reason=reason,

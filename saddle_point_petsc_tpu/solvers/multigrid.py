@@ -317,7 +317,20 @@ def mg_pc(
         if smoother == "sor":
             sm = precond.sor(op, omega=1.0, sweeps=1)
         elif smoother == "chebyshev":
-            sm = precond.chebyshev_pc(op, iters=3)
+            # Chebyshev smoothing targets the UPPER spectrum [lmax/4, lmax]
+            # of the Jacobi-preconditioned operator (PETSc PCMG default
+            # smoother semantics).  The generic chebyshev_pc default
+            # lmax=1.1 assumes a well-scaled PC'd spectrum; for D^-1 A the
+            # spectrum reaches ~2 and an undershot lmax makes the smoother
+            # AMPLIFY high modes (divergence).  Estimate per level.
+            Mj = precond.jacobi(op)
+            tmpl = jnp.ones((2, ny, nx), op.planes.dtype)
+            lmax = 1.1 * float(
+                precond.estimate_lmax(op, Mj, template=tmpl)
+            )
+            sm = precond.chebyshev_pc(
+                op, inner=Mj, lmin=lmax / 4.0, lmax=lmax, iters=3
+            )
         elif smoother == "jacobi":
             base = precond.pbjacobi(op)
             sm = _DampedPBJacobi(base.inv_blocks, 0.8)
@@ -325,6 +338,15 @@ def mg_pc(
             raise ValueError(f"mg smoother {smoother!r}")
         levels.append(MGLevel(op, sm))
         op = galerkin_coarse_stencil(op)
+    cny, cnx = op.grid_shape
+    if cny * cnx * 2 > 32768:
+        raise ValueError(
+            f"mg_pc: coarsest level is {cny}x{cnx} nodes "
+            f"({cny * cnx * 2} dofs) — too large for a dense coarse solve. "
+            "Grids coarsen only while node counts are odd (2^k+1 nodes = "
+            "2^k elements per axis coarsen fully); choose such a grid or "
+            "raise max_levels."
+        )
     dense = _stencil_to_dense_host(np.asarray(op.W))
     coarse_inv = jnp.asarray(np.linalg.inv(dense))
     return MGPC(tuple(levels), coarse_inv, cycles)

@@ -244,11 +244,25 @@ def solve_refined_kkt_fused(
     planes_df: DF = None,
     Bf_df: DF = None,
     M=None,
+    inner=None,
+    inner_operands=None,
 ):
     """Fully device-side refinement: one jitted lax.while_loop over
-    (df residual -> f32 MINRES+Schur -> df update) cycles — a single
+    (df residual -> f32 Krylov correction -> df update) cycles — a single
     dispatch, no host round-trips (matters on high-latency links; on
     local hardware it matches the host-loop version).
+
+    inner: optional traced callable (r_u, r_lam) -> ((du, dlam), its)
+    replacing the default MINRES+M correction solve — e.g. FGMRES with a
+    multigrid-Schur PC.  If the inner solve closes over large arrays
+    (MG hierarchies, operators), pass them through inner_operands (any
+    pytree): inner is then called as inner(r_u, r_lam, inner_operands)
+    with the operands TRACED, not baked into the program as constants.
+
+    All operator/rhs arrays enter the compiled program as ARGUMENTS, not
+    closure constants — a closure-constant design inlines the (possibly
+    hundreds of MB) df coefficient planes into the HLO itself, which
+    breaks remote-compile transports and bloats compile time.
 
     Returns (x_df, cycles, inner_its_total, rnorm, rnorm0).
     """
@@ -261,10 +275,9 @@ def solve_refined_kkt_fused(
         Bf_df = DF(K.Bf, jnp.zeros_like(K.Bf))
     if M is None:
         M = precond.schur_pc(K.A, K.Bf, fact_type="diag")
-    fb_df, gb_df = b_df
     m = Bf_df.hi.shape[0]
 
-    def residual(x_df):
+    def residual(planes_df, Bf_df, fb_df, gb_df, x_df):
         u_df, lam_df = x_df
         au = df_planes_matvec(planes_df, u_df)
         for i in range(m):
@@ -296,14 +309,18 @@ def solve_refined_kkt_fused(
         return jnp.sqrt(jnp.sum(a * a) + jnp.sum(b * b))
 
     @jax.jit
-    def run():
-        r0 = residual(
-            (
-                DF(jnp.zeros_like(fb_df.hi), jnp.zeros_like(fb_df.lo)),
-                DF(jnp.zeros_like(gb_df.hi), jnp.zeros_like(gb_df.lo)),
-            )
+    def _run(operands):
+        planes_df, Bf_df, fb_df, gb_df, K, M, inner_ops = operands
+
+        def res_of(x_df):
+            return residual(planes_df, Bf_df, fb_df, gb_df, x_df)
+
+        x0 = (
+            DF(jnp.zeros_like(fb_df.hi), jnp.zeros_like(fb_df.lo)),
+            DF(jnp.zeros_like(gb_df.hi), jnp.zeros_like(gb_df.lo)),
         )
-        bnorm = rnorm_of((b_df[0], b_df[1]))
+        r0 = res_of(x0)
+        bnorm = rnorm_of((fb_df, gb_df))
 
         def cond(s):
             x, cycles, inner_its, rn = s
@@ -311,25 +328,30 @@ def solve_refined_kkt_fused(
 
         def body(s):
             x, cycles, inner_its, rn = s
-            r = residual(x)
-            res = krylov.minres(
-                K, (r[0].hi, r[1].hi), M=M, rtol=inner_rtol,
-                maxiter=inner_maxiter,
-            )
-            du, dlam = res.x
+            r = res_of(x)
+            if inner is not None:
+                if inner_operands is not None:
+                    (du, dlam), its = inner(r[0].hi, r[1].hi, inner_ops)
+                else:
+                    (du, dlam), its = inner(r[0].hi, r[1].hi)
+            else:
+                res = krylov.minres(
+                    K, (r[0].hi, r[1].hi), M=M, rtol=inner_rtol,
+                    maxiter=inner_maxiter,
+                )
+                (du, dlam), its = res.x, res.iterations
             x = (
                 df_add(x[0], DF(du, jnp.zeros_like(du))),
                 df_add(x[1], DF(dlam, jnp.zeros_like(dlam))),
             )
-            rn_new = rnorm_of(residual(x))
-            return (x, cycles + 1, inner_its + res.iterations, rn_new)
+            rn_new = rnorm_of(res_of(x))
+            return (x, cycles + 1, inner_its + its, rn_new)
 
-        x0 = (
-            DF(jnp.zeros_like(fb_df.hi), jnp.zeros_like(fb_df.lo)),
-            DF(jnp.zeros_like(gb_df.hi), jnp.zeros_like(gb_df.lo)),
-        )
         state = (x0, jnp.int32(0), jnp.int32(0), rnorm_of(r0))
         x, cycles, inner_its, rn = jax.lax.while_loop(cond, body, state)
         return x, cycles, inner_its, rn, bnorm
 
-    return run
+    operands = (
+        planes_df, Bf_df, b_df[0], b_df[1], K, M, inner_operands
+    )
+    return lambda: _run(operands)
