@@ -10,6 +10,7 @@ Supported options (prefix-scoped; defaults follow PETSc where sensible):
   -ksp_rtol <r>       [1e-5]      -ksp_atol <a>   [1e-50]
   -ksp_divtol <d>     [1e5]       -ksp_max_it <n> [10000]
   -ksp_gmres_restart <m>          [30]
+  -ksp_norm_type {preconditioned,unpreconditioned,natural}  [preconditioned]
   -ksp_monitor                    (per-iteration residual printing)
   -ksp_converged_reason           (print reason after solve)
   -pc_type {none,jacobi,pbjacobi,sor,bjacobi,ilu,chebyshev,fieldsplit,mg}
@@ -183,6 +184,7 @@ class KSP:
     max_it: int = 10000
     restart: int = 30
     monitor: bool = False
+    norm_type: str = "preconditioned"
     A: Any = None
     M: Any = None
 
@@ -202,6 +204,9 @@ class KSP:
         self.max_it = o.get_int("ksp_max_it", self.max_it)
         self.restart = o.get_int("ksp_gmres_restart", self.restart)
         self.monitor = o.get_bool("ksp_monitor", self.monitor)
+        # PETSc -ksp_norm_type {preconditioned,unpreconditioned,natural}
+        # (consumed by solvers that support a norm choice, i.e. CG)
+        self.norm_type = o.get_str("ksp_norm_type", self.norm_type)
         self.pc_type = o.get_str("pc_type", self.pc_type)
         return self
 
@@ -226,6 +231,8 @@ class KSP:
         )
         if self.ksp_type in ("gmres", "fgmres"):
             kwargs["restart"] = self.restart
+        if self.ksp_type == "cg":
+            kwargs["norm_type"] = self.norm_type
         if self.ksp_type == "chebyshev":
             # PETSc KSPCHEBYSHEV defaults to eigenvalue estimation with the
             # transform (0.1*lmax, 1.1*lmax); -ksp_chebyshev_eigenvalues a,b

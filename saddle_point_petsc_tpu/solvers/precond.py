@@ -208,11 +208,17 @@ class BlockJacobiPC:
 _register(BlockJacobiPC, ("inv",), ("n",))
 
 
-def block_jacobi(A_dense_or_csr, nblocks=4) -> BlockJacobiPC:
+def block_jacobi(A_dense_or_csr, nblocks=4, max_block=4096) -> BlockJacobiPC:
     """Host setup: extract nb diagonal blocks and invert them.
 
     Accepts a CSR (host extraction via scipy) or a dense array.
     Blocks are equal-size (last one padded with identity).
+
+    Blocks are capped at `max_block` rows: a dense inverse is O(bs^2)
+    memory and O(bs^3) setup, so at large n the block count is raised
+    until bs <= max_block (PETSc's PCBJACOBI likewise picks the block
+    count when PETSC_DECIDE; a 1024^2-grid operator with nblocks=4 would
+    otherwise try to invert four dense ~500k^2 blocks).
     """
     if isinstance(A_dense_or_csr, sp.CSR):
         a = sp.csr_to_scipy(A_dense_or_csr)
@@ -222,6 +228,7 @@ def block_jacobi(A_dense_or_csr, nblocks=4) -> BlockJacobiPC:
         a = np.asarray(A_dense_or_csr)
         n = a.shape[0]
         get = lambda lo, hi: a[lo:hi, lo:hi]
+    nblocks = max(nblocks, -(-n // max_block))
     bs = -(-n // nblocks)
     blocks = np.zeros((nblocks, bs, bs), a.dtype if hasattr(a, "dtype") else np.float64)
     for k in range(nblocks):
