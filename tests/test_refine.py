@@ -96,6 +96,64 @@ def test_refined_solve_reaches_1em10_with_f32_inner():
     assert res.cycles >= 2
 
 
+def test_refined_kkt_distributed_parity():
+    """Refinement composed with the DISTRIBUTED operator: the fused
+    refined-KKT loop over a DistSaddleOperator on the fake 8-device mesh
+    must reach rtol 1e-8 with serial-parity cycles/inner iterations and
+    the same solution.  (The reference reaches 1e-8 in every parallel run
+    for free from f64 PETSc scalars, /root/reference/src/
+    SaddlePointProblem.c:70; this is our f32-TPU equivalent, distributed.)
+    """
+    from saddle_point_petsc_tpu.models import saddle as smod
+    from saddle_point_petsc_tpu.ops.stencil import StencilOperator
+    from saddle_point_petsc_tpu.parallel import dist
+    from saddle_point_petsc_tpu.parallel.mesh import make_mesh, shard_field
+    from saddle_point_petsc_tpu.solvers import precond
+    from saddle_point_petsc_tpu.solvers.operators import SaddleOperator
+
+    nex = 31  # 32x32 nodes: divides the (2, 4) fake mesh exactly
+    prob64 = smod.assemble_saddle(nex, nex, dtype=jnp.float64,
+                                  body_force="trig")
+    planes_df = df_from_f64(np.asarray(prob64.A.planes))
+    Bf_df = df_from_f64(np.asarray(prob64.Bf))
+    b_df = (df_from_f64(np.asarray(prob64.f)),
+            df_from_f64(np.asarray(prob64.g)))
+
+    # serial fused refinement
+    A32 = StencilOperator(planes_df.hi)
+    K32 = SaddleOperator(A32, Bf_df.hi)
+    M = precond.schur_pc(A32, Bf_df.hi, fact_type="diag")
+    out_s = refine.solve_refined_kkt_fused(
+        K32, b_df, rtol=1e-8, planes_df=planes_df, Bf_df=Bf_df, M=M,
+        inner_rtol=1e-4, inner_maxiter=1500,
+    )()
+    x_s, cyc_s, its_s, rn_s, bn_s = jax.device_get(out_s)
+    assert rn_s <= 1e-8 * bn_s
+
+    # distributed twin: same df data sharded over the mesh; the df residual
+    # (plain jnp ops) is partitioned by XLA, the inner MINRES matvec runs
+    # through the shard_map halo-exchange path
+    mesh = make_mesh(8)
+    sh = lambda df: DF(shard_field(df.hi, mesh), shard_field(df.lo, mesh))
+    planes_dd, Bf_dd = sh(planes_df), sh(Bf_df)
+    Ad = dist.DistStencilOperator(planes_dd.hi, mesh,
+                                  active_shape=(nex + 1, nex + 1))
+    Kd = dist.DistSaddleOperator(Ad, Bf_dd.hi)
+    Md = precond.schur_pc(Ad, Bf_dd.hi, fact_type="diag")
+    b_dd = (sh(b_df[0]), b_df[1])
+    out_d = refine.solve_refined_kkt_fused(
+        Kd, b_dd, rtol=1e-8, planes_df=planes_dd, Bf_df=Bf_dd, M=Md,
+        inner_rtol=1e-4, inner_maxiter=1500,
+    )()
+    x_d, cyc_d, its_d, rn_d, bn_d = jax.device_get(out_d)
+    assert rn_d <= 1e-8 * bn_d, (rn_d, bn_d)
+    assert abs(int(cyc_d) - int(cyc_s)) <= 1, (cyc_d, cyc_s)
+    assert abs(int(its_d) - int(its_s)) <= 5, (its_d, its_s)
+    xu_s = df_to_f64(DF(np.asarray(x_s[0].hi), np.asarray(x_s[0].lo)))
+    xu_d = df_to_f64(DF(np.asarray(x_d[0].hi), np.asarray(x_d[0].lo)))
+    np.testing.assert_allclose(xu_d, xu_s, rtol=0, atol=1e-9)
+
+
 def test_df_sum_accuracy(rng):
     x = rng.standard_normal(100000)
     df = df_from_f64(x)
