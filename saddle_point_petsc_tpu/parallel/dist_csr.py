@@ -437,3 +437,134 @@ def dist_aij_from_coo(rows, cols, vals, n, mesh: Mesh, cap=None, dtype=None):
         (v[keep], (r[keep], c[keep])), shape=(n, n)
     ).tocsr()
     return dist_aij_from_scipy(a, mesh, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Per-shard ILU(0) local solves (PETSc parallel-default bjacobi + ILU)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DistAIJILU0PC:
+    """Block-Jacobi with per-shard ILU(0) local solves for DistAIJ.
+
+    The factors of each shard's diag block are stored in fixed-width ELL
+    sharded with the matrix rows; application is `sweeps` Jacobi sweeps
+    per triangular factor — pure local compute under shard_map, zero
+    collectives (the real PETSc parallel-default semantics, ref
+    /root/reference/src/SaddlePointProblem.c:67, replacing the Chebyshev
+    stand-in of dist_aij_block_jacobi)."""
+
+    L_cols: Any  # (n_pad, kL) sharded
+    L_vals: Any
+    U_cols: Any  # (n_pad, kU) strictly upper
+    U_vals: Any
+    inv_diag: Any  # (n_pad,)
+    mesh: Any  # static
+    sweeps: int = 6  # static
+
+    def __call__(self, r):
+        def local(lc, lv, uc, uv, ivd, rl):
+            y = rl
+            for _ in range(self.sweeps):
+                y = rl - _ell_rowsum(lc, lv, y)
+            z = ivd * y
+            for _ in range(self.sweeps):
+                z = ivd * (y - _ell_rowsum(uc, uv, z))
+            return z
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(SHARD, None), P(SHARD, None), P(SHARD, None),
+                P(SHARD, None), P(SHARD), P(SHARD),
+            ),
+            out_specs=P(SHARD),
+        )
+        return fn(
+            self.L_cols, self.L_vals, self.U_cols, self.U_vals,
+            self.inv_diag, r,
+        )
+
+
+jax.tree_util.register_pytree_node(
+    DistAIJILU0PC,
+    lambda o: (
+        (o.L_cols, o.L_vals, o.U_cols, o.U_vals, o.inv_diag),
+        (o.mesh, o.sweeps),
+    ),
+    lambda m, d: DistAIJILU0PC(*d, *m),
+)
+
+
+def dist_aij_ilu0(A: DistAIJ, sweeps=6) -> DistAIJILU0PC:
+    """Host setup: factorize every shard's diag block with the native
+    ILU(0) kernel; ELL-pack the triangular factors and re-shard them."""
+    import scipy.sparse as sps
+
+    dc = np.asarray(jax.device_get(A.diag_cols))
+    dv = np.asarray(jax.device_get(A.diag_vals), np.float64)
+    ndev, n_loc = A.ndev, A.n_loc
+    parts = []
+    for s in range(ndev):
+        c = dc[s * n_loc : (s + 1) * n_loc]
+        v = dv[s * n_loc : (s + 1) * n_loc]
+        r_idx, k_idx = np.nonzero(c >= 0)
+        a = sps.csr_matrix(
+            (v[r_idx, k_idx], (r_idx, c[r_idx, k_idx])),
+            shape=(n_loc, n_loc),
+        )
+        missing = np.nonzero(a.diagonal() == 0)[0]
+        if len(missing):  # structurally missing/zero diag: identity rows
+            a = a + sps.csr_matrix(
+                (np.ones(len(missing)), (missing, missing)), shape=a.shape
+            )
+        a.sum_duplicates()
+        a.sort_indices()
+        data = a.data.astype(np.float64).copy()
+        try:
+            from saddle_point_petsc_tpu.utils import native
+
+            data = native.ilu0(
+                a.indptr.astype(np.int32), a.indices.astype(np.int32),
+                data, n_loc,
+            )
+        except Exception:
+            from saddle_point_petsc_tpu.solvers.precond import _ilu0_python
+
+            data = _ilu0_python(
+                a.indptr.astype(np.int64), a.indices, data, n_loc
+            )
+        f = sps.csr_matrix((data, a.indices, a.indptr), shape=a.shape)
+        L = sps.tril(f, k=-1).tocsr()
+        U = sps.triu(f, k=1).tocsr()
+        d = f.diagonal()
+        parts.append((L, U, 1.0 / np.where(d == 0, 1.0, d)))
+    kL = max(1, max(int(np.diff(L.indptr).max(initial=0)) for L, _, _ in parts))
+    kU = max(1, max(int(np.diff(U.indptr).max(initial=0)) for _, U, _ in parts))
+    dtype = np.dtype(str(A.diag_vals.dtype))  # factorize f64, apply in A's
+
+    def pack(mats, k):
+        cs, vs = [], []
+        for m in mats:
+            rows = np.repeat(np.arange(n_loc), np.diff(m.indptr))
+            c_, v_ = _ell_pack(rows, m.indices, m.data, n_loc, k, dtype)
+            cs.append(c_)
+            vs.append(v_)
+        return np.concatenate(cs), np.concatenate(vs)
+
+    Lc, Lv = pack([p[0] for p in parts], kL)
+    Uc, Uv = pack([p[1] for p in parts], kU)
+    ivd = np.concatenate([p[2] for p in parts]).astype(dtype)
+    row_shard = NamedSharding(A.mesh, P(SHARD, None))
+    vec_shard = NamedSharding(A.mesh, P(SHARD))
+    return DistAIJILU0PC(
+        jax.device_put(jnp.asarray(Lc), row_shard),
+        jax.device_put(jnp.asarray(Lv), row_shard),
+        jax.device_put(jnp.asarray(Uc), row_shard),
+        jax.device_put(jnp.asarray(Uv), row_shard),
+        jax.device_put(jnp.asarray(ivd), vec_shard),
+        A.mesh,
+        sweeps,
+    )

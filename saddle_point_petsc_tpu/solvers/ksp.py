@@ -94,15 +94,30 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
         from saddle_point_petsc_tpu.parallel.dist_csr import (
             DistAIJ,
             dist_aij_block_jacobi,
+            dist_aij_ilu0,
         )
+        from saddle_point_petsc_tpu.solvers.ilu_stencil import dist_ilu0
 
+        # PETSc's parallel bjacobi takes a per-block local solver via
+        # -sub_pc_type; default ilu mirrors PETSc (SaddlePointProblem.c:67
+        # SetFromOptions semantics), chebyshev is the inner-product-free
+        # alternative local solve.
+        sub = opts.get_str("sub_pc_type", "ilu")
         if isinstance(A, DistAIJ):
+            if sub == "ilu":
+                return dist_aij_ilu0(
+                    A, sweeps=opts.get_int("pc_ilu_sweeps", 6)
+                )
             return dist_aij_block_jacobi(
                 A, iters=opts.get_int("pc_bjacobi_local_its", 8)
             )
         if isinstance(A, DistStencilOperator):
             # one block per device patch (PETSc's parallel default:
             # bjacobi with a local solve per rank, SaddlePointProblem.c:67)
+            if sub == "ilu":
+                return dist_ilu0(
+                    A, sweeps=opts.get_int("pc_ilu_sweeps", 6)
+                )
             return dist_block_jacobi(
                 A, iters=opts.get_int("pc_bjacobi_local_its", 8)
             )
@@ -115,29 +130,27 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
     if pc_type == "ilu":
         from saddle_point_petsc_tpu.parallel.dist_csr import (
             DistAIJ,
-            dist_aij_block_jacobi,
+            dist_aij_ilu0,
+        )
+        from saddle_point_petsc_tpu.solvers.ilu_stencil import (
+            dist_ilu0,
+            stencil_ilu0,
         )
 
-        if isinstance(A, (DistStencilOperator, DistAIJ)):
-            # PETSc semantics: parallel "ilu" means bjacobi + per-rank ILU
-            # local solve; our per-patch local solve is Chebyshev-class
-            if isinstance(A, DistAIJ):
-                return dist_aij_block_jacobi(
-                    A, iters=opts.get_int("pc_bjacobi_local_its", 8)
-                )
-            return dist_block_jacobi(
-                A, iters=opts.get_int("pc_bjacobi_local_its", 8)
-            )
         sweeps = opts.get_int("pc_ilu_sweeps", 6)
+        if isinstance(A, DistAIJ):
+            # PETSc semantics: parallel "ilu" = bjacobi + per-rank ILU(0)
+            return dist_aij_ilu0(A, sweeps=sweeps)
+        if isinstance(A, DistStencilOperator):
+            # per-patch ILU(0) in stencil form (zero-collective apply)
+            return dist_ilu0(A, sweeps=sweeps)
         if isinstance(A, StencilOperator):
-            from saddle_point_petsc_tpu.ops.stencil import stencil_to_coo
-
-            csr = sp.csr_compact(sp.coo_to_csr(stencil_to_coo(A.W)))
-        elif isinstance(A, sp.CSR):
-            csr = A
-        else:
-            raise ValueError("ilu PC requires stencil or CSR operator")
-        return precond.ilu0(csr, sweeps=sweeps)
+            # stencil-form factors: bit-identical to the CSR path at equal
+            # sweeps, applied as shifted-slice contractions (no gathers)
+            return stencil_ilu0(A, sweeps=sweeps)
+        if isinstance(A, sp.CSR):
+            return precond.ilu0(A, sweeps=sweeps)
+        raise ValueError("ilu PC requires stencil or CSR operator")
     if pc_type == "chebyshev":
         lmin = opts.get_float("pc_chebyshev_lmin", 0.1)
         lmax = opts.get_float("pc_chebyshev_lmax", 1.1)

@@ -184,3 +184,28 @@ def test_exchange_triplets_overflow_flag(mesh1d):
     r[: coo.nnz], c[: coo.nnz], v[: coo.nnz] = coo.row, coo.col, coo.data
     with pytest.raises(ValueError, match="overflow"):
         dist_csr.dist_aij_from_coo(r, c, v, n, mesh1d, cap=1)
+
+
+def test_dist_aij_ilu0_converges_and_beats_jacobi(mesh1d):
+    """Per-shard ILU(0) for DistAIJ (PETSc bjacobi+ILU): converges to
+    rtol, beats plain Jacobi, and the solution matches a direct solve."""
+    import scipy.sparse.linalg as spla
+
+    from saddle_point_petsc_tpu.solvers import precond
+
+    n = 48
+    A2 = _poisson2d(n, n).astype(np.float64)
+    Ad = dist_csr.dist_aij_from_scipy(A2, mesh1d, dtype=np.float64)
+    b = np.random.default_rng(1).standard_normal(n * n)
+    bd = dist_csr.pad_vector(b, Ad.n_pad, mesh1d)
+    res = krylov.gmres(Ad, bd, M=dist_csr.dist_aij_ilu0(Ad, sweeps=6),
+                       rtol=1e-10, maxiter=1000)
+    d = Ad.diagonal()
+    resj = krylov.gmres(Ad, bd,
+                        M=precond.JacobiPC(1.0 / jnp.where(d == 0, 1, d)),
+                        rtol=1e-10, maxiter=1000)
+    assert int(res.converged_reason) > 0
+    assert int(res.iterations) < int(resj.iterations)
+    x = np.asarray(res.x)[: n * n]
+    xd = spla.spsolve(A2.tocsc(), b)
+    np.testing.assert_allclose(x, xd, atol=1e-5)
