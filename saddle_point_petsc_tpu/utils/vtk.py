@@ -35,7 +35,16 @@ def _gather_host(x):
     try:
         import jax
 
-        if isinstance(x, jax.Array) and jax.process_count() > 1:
+        if (
+            isinstance(x, jax.Array)
+            and jax.process_count() > 1
+            and not x.is_fully_addressable
+        ):
+            # cross-process-sharded global array: every process holds only
+            # its shards, so materialize the global value collectively.
+            # (Fully-addressable arrays — local or replicated — must NOT
+            # take this path: process_allgather would concatenate the
+            # per-process copies and double the grid.)
             from jax.experimental import multihost_utils
 
             x = multihost_utils.process_allgather(x, tiled=True)

@@ -1,0 +1,112 @@
+"""Multi-host (2-process jax.distributed) smoke test on CPU.
+
+Exercises the two code paths that are dead in every single-process run
+(VERDICT r2 missing #4):
+
+- `make_mesh(hosts_major=True)`'s device sort: each host's devices must
+  form contiguous mesh rows (ICI-before-DCN layout);
+- `write_vtk`'s multihost branch: `process_allgather` + process-0 single
+  writer — the TPU-pod replacement for the reference's MPI-IO token ring
+  (ref /root/reference/src/Visulaization.c:146-173).
+
+Two coordinated subprocesses, 4 fake CPU devices each (8 global).  The
+parent compares the multihost-written VTK byte-for-byte against a
+serial-written one.
+"""
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from saddle_point_petsc_tpu.parallel.mesh import GX, GY, make_mesh
+from saddle_point_petsc_tpu.utils import vtk
+from saddle_point_petsc_tpu.models import fem
+
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+mesh = make_mesh(8, shape=(2, 4))
+# hosts-major: row 0 of the (2, 4) mesh is process 0's devices, row 1 is
+# process 1's — halo ppermutes along gx stay intra-host (ICI), only the
+# gy edge crosses hosts (DCN)
+procs = np.vectorize(lambda d: d.process_index)(mesh.devices)
+assert (procs == np.array([[0] * 4, [1] * 4])).all(), procs
+
+ny, nx = 8, 16
+u_np = np.arange(2 * ny * nx, dtype=np.float64).reshape(2, ny, nx) / 7.0
+sh = NamedSharding(mesh, P(None, GY, GX))
+u = jax.make_array_from_callback(u_np.shape, sh, lambda idx: u_np[idx])
+# a cross-process reduction through the partitioner (psum-on-sharded)
+total = float(np.asarray(jnp.sum(u)))
+assert abs(total - u_np.sum()) < 1e-9, (total, u_np.sum())
+coords = fem.uniform_node_coords(nx - 1, ny - 1, dtype=jnp.float64)
+vtk.write_vtk(out, coords, u=u)
+print(f"proc {pid} ok", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_two_process_mesh_and_vtk(tmp_path):
+    port = _free_port()
+    out = tmp_path / "mh.vtk"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"  # ignored by sitecustomize; worker sets
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), str(port), str(out)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=str(repo),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            o, _ = p.communicate()
+        outs.append(o)
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    assert out.exists(), outs
+
+    # byte-parity vs a serial writer on the same data
+    import jax.numpy as jnp
+
+    from saddle_point_petsc_tpu.models import fem
+    from saddle_point_petsc_tpu.utils import vtk
+
+    ny, nx = 8, 16
+    u_np = np.arange(2 * ny * nx, dtype=np.float64).reshape(2, ny, nx) / 7.0
+    ref = tmp_path / "serial.vtk"
+    coords = fem.uniform_node_coords(nx - 1, ny - 1, dtype=jnp.float64)
+    vtk.write_vtk(ref, np.asarray(coords), u=u_np)
+    assert out.read_bytes() == ref.read_bytes()
