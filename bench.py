@@ -205,7 +205,7 @@ def bench_refined_kkt(n_nodes=257, rtol=1e-8, inner_kind="fgmres-mg"):
     )
 
 
-def bench_scaling_subprocess(n_nodes=512, reps=20, timeout=900):
+def bench_scaling_subprocess(n_nodes=1024, reps=10, timeout=1800):
     """Run the fake-device CPU scaling harness in a subprocess (the main
     process owns the TPU backend) and return its JSON keys."""
     import pathlib

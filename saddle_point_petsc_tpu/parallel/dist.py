@@ -32,7 +32,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from saddle_point_petsc_tpu.models import fem
 from saddle_point_petsc_tpu.ops.stencil import StencilOperator
-from saddle_point_petsc_tpu.parallel.halo import halo_add, halo_exchange
+from saddle_point_petsc_tpu.parallel.halo import (
+    halo_add,
+    halo_exchange,
+    halo_exchange_1phase,
+)
 from saddle_point_petsc_tpu.parallel.mesh import GX, GY, field_sharding
 
 _NODE_OFF = ((0, 0), (1, 0), (1, 1), (0, 1))
@@ -109,7 +113,9 @@ def _local_matvec(planes, x, backend="xla", overlap=True):
     distributed halo-overlap Pallas SpMV of the north star.
     """
     my, mx = x.shape[-2:]
-    xp = halo_exchange(x)  # (2, my+2, mx+2): ppermutes issued first
+    # single comm phase: 8 concurrent ppermutes (edges + corner scalars),
+    # dependency depth 1 — all transfers overlap the local contraction
+    xp = halo_exchange_1phase(x)  # (2, my+2, mx+2)
     if backend == "pallas":
         from saddle_point_petsc_tpu.ops.pallas.spmv import (
             stencil_spmv_pallas_padded,

@@ -61,6 +61,47 @@ def halo_exchange(x, axes=(GY, GX)):
     return jnp.concatenate([bot_ghost, xw, top_ghost], axis=-2)
 
 
+def _diag_perm(py, px, dy, dx):
+    """Non-periodic diagonal-shift pairs over the flattened (gy, gx) mesh
+    (flat index = iy*px + ix, the collective's tuple-axis order)."""
+    return [
+        (iy * px + ix, (iy + dy) * px + (ix + dx))
+        for iy in range(py)
+        for ix in range(px)
+        if 0 <= iy + dy < py and 0 <= ix + dx < px
+    ]
+
+
+def halo_exchange_1phase(x, axes=(GY, GX)):
+    """Single-phase box exchange: 8 *concurrent* ppermutes (4 edges + 4
+    corner scalars over the flattened mesh axes) instead of two dependent
+    phases.
+
+    Same result as `halo_exchange`, but the comm dependency depth is 1
+    instead of 2: on TPU all eight transfers launch together on ICI and
+    the local contraction overlaps one comm round, not two.  The corner
+    messages are O(1) elements.  This is the production exchange on the
+    matvec hot path; the two-phase variant remains the reference
+    implementation (and the adjoint `halo_add` is unchanged — assembly is
+    setup-time).
+    """
+    ay, ax = axes
+    py, px = lax.axis_size(ay), lax.axis_size(ax)
+    axt = (ay, ax)
+    lg = lax.ppermute(x[..., :, -1:], ax, _shift_perm(px, +1))
+    rg = lax.ppermute(x[..., :, :1], ax, _shift_perm(px, -1))
+    bg = lax.ppermute(x[..., -1:, :], ay, _shift_perm(py, +1))
+    tg = lax.ppermute(x[..., :1, :], ay, _shift_perm(py, -1))
+    c00 = lax.ppermute(x[..., -1:, -1:], axt, _diag_perm(py, px, +1, +1))
+    c01 = lax.ppermute(x[..., -1:, :1], axt, _diag_perm(py, px, +1, -1))
+    c10 = lax.ppermute(x[..., :1, -1:], axt, _diag_perm(py, px, -1, +1))
+    c11 = lax.ppermute(x[..., :1, :1], axt, _diag_perm(py, px, -1, -1))
+    row_lo = jnp.concatenate([c00, bg, c01], axis=-1)  # padded row j=-1
+    row_hi = jnp.concatenate([c10, tg, c11], axis=-1)  # padded row j=my
+    mid = jnp.concatenate([lg, x, rg], axis=-1)
+    return jnp.concatenate([row_lo, mid, row_hi], axis=-2)
+
+
 def halo_add(xp, axes=(GY, GX)):
     """Adjoint of halo_exchange: fold the 1-ring ghost accumulations of a
     padded (..., my+2, mx+2) block back onto their owners; returns the
