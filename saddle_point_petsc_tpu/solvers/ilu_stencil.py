@@ -210,7 +210,17 @@ def dist_ilu0(A, sweeps=6) -> DistILU0PC:
     from saddle_point_petsc_tpu.parallel.mesh import GX, GY
 
     At = patch_truncate(A)
-    planes = np.asarray(jax.device_get(At.planes), np.float64)
+    if getattr(At.planes, "is_fully_addressable", True):
+        planes = np.asarray(jax.device_get(At.planes), np.float64)
+    else:
+        # multihost: remote shards are not addressable — materialize the
+        # global planes collectively (setup-time only)
+        from jax.experimental import multihost_utils
+
+        planes = np.asarray(
+            multihost_utils.process_allgather(At.planes, tiled=True),
+            np.float64,
+        )
     ny, nx = planes.shape[-2:]
     mesh = A.mesh
     py, px = mesh.shape[GY], mesh.shape[GX]
@@ -224,12 +234,19 @@ def dist_ilu0(A, sweeps=6) -> DistILU0PC:
                   slice(pi * mx, (pi + 1) * mx))
             Lg[sl], Ug[sl], ivg[sl] = stencil_ilu0_host(planes[sl])
     dt = A.planes.dtype
-    shp = NamedSharding(mesh, P(None, None, None, GY, GX))
-    shf = NamedSharding(mesh, P(None, GY, GX))
+
+    def put(host_np, spec):
+        # works in single- AND multi-process runs (device_put of a host
+        # array onto a cross-process sharding is single-process only)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            host_np.shape, sh, lambda idx: jnp.asarray(host_np[idx], dt)
+        )
+
     return DistILU0PC(
-        jax.device_put(jnp.asarray(Lg, dt), shp),
-        jax.device_put(jnp.asarray(Ug, dt), shp),
-        jax.device_put(jnp.asarray(ivg, dt), shf),
+        put(Lg, P(None, None, None, GY, GX)),
+        put(Ug, P(None, None, None, GY, GX)),
+        put(ivg, P(None, GY, GX)),
         mesh,
         sweeps,
     )
