@@ -568,3 +568,87 @@ def dist_aij_ilu0(A: DistAIJ, sweeps=6) -> DistAIJILU0PC:
         A.mesh,
         sweeps,
     )
+
+
+# ---------------------------------------------------------------------------
+# Double-float (compensated) SpMV: rtol 1e-8+ refinement on general sparse
+# ---------------------------------------------------------------------------
+
+
+def dist_aij_df_from_scipy(a64, mesh: Mesh):
+    """Split an f64 scipy matrix into (DistAIJ hi, (diag_lo, off_vals_lo)).
+
+    The reference gets f64 MATMPIAIJ for free from PetscScalar=double
+    (/root/reference/src/SaddlePointProblem.c:70); on f64-less TPUs the
+    equivalent is double-float storage: hi = f32 round of the values, lo
+    the f32 remainder, ELL layouts bit-aligned (the layout depends only
+    on the sparsity pattern, so two builds share it)."""
+    a64 = a64.tocsr().astype(np.float64)
+    hi = a64.copy()
+    hi.data = a64.data.astype(np.float32).astype(np.float64)
+    lo = a64.copy()
+    lo.data = a64.data - hi.data  # exact f64 remainder, same pattern
+    A = dist_aij_from_scipy(a64, mesh, dtype=np.float32)
+    Alo = dist_aij_from_scipy(lo, mesh, dtype=np.float32)
+    # padding rows get an identity 1.0 in every build; zero the lo copy
+    # so padded df values are exactly (1, 0)
+    m = a64.shape[0]
+    if A.n_pad > m:
+        rloc = (
+            jnp.arange(A.n_pad, dtype=jnp.int32) % A.n_loc
+        )[:, None]
+        ispad = jnp.arange(A.n_pad)[:, None] >= m
+        dl = jnp.where(ispad & (Alo.diag_cols == rloc), 0.0, Alo.diag_vals)
+    else:
+        dl = Alo.diag_vals
+    return A, (dl, Alo.off_vals)
+
+
+def dist_aij_matvec_df(A: DistAIJ, lo_vals, x_df):
+    """Compensated y = A x with A and x double-float (DF of (n_pad,)
+    sharded vectors).  One all_to_all ships hi and lo ghosts together;
+    the rowsums accumulate in df arithmetic (~1e-14 relative) — the
+    residual accuracy iterative refinement needs (solvers/refine.py)."""
+    from saddle_point_petsc_tpu.ops import doublefloat as dfo
+
+    diag_lo, off_lo = lo_vals
+
+    def local(dc, dv, dvl, oc, ov, ovl, sidx, xh, xl):
+        buf = jnp.stack([xh[sidx[0]], xl[sidx[0]]], axis=-1)
+        ghost = lax.all_to_all(buf, SHARD, split_axis=0, concat_axis=0)
+        gh = ghost[..., 0].reshape(-1)
+        gl = ghost[..., 1].reshape(-1)
+
+        def rowsum(cols, vh, vl, uh, ul, acc):
+            valid = cols >= 0
+            c = jnp.where(valid, cols, 0)
+            vh = jnp.where(valid, vh, 0.0)
+            vl = jnp.where(valid, vl, 0.0)
+            for k in range(cols.shape[1]):
+                w = dfo.DF(vh[:, k], vl[:, k])
+                u = dfo.DF(uh[c[:, k]], ul[c[:, k]])
+                acc = dfo.df_add(acc, dfo.df_mul(w, u))
+            return acc
+
+        z = jnp.zeros_like(xh)
+        acc = rowsum(dc, dv, dvl, xh, xl, dfo.DF(z, z))
+        acc = rowsum(oc, ov, ovl, gh, gl, acc)
+        return acc.hi, acc.lo  # plain tuple: matches out_specs pytree
+
+    fn = jax.shard_map(
+        local,
+        mesh=A.mesh,
+        in_specs=(
+            P(SHARD, None), P(SHARD, None), P(SHARD, None),
+            P(SHARD, None), P(SHARD, None), P(SHARD, None),
+            P(SHARD, None, None), P(SHARD), P(SHARD),
+        ),
+        out_specs=(P(SHARD), P(SHARD)),
+    )
+    from saddle_point_petsc_tpu.ops.doublefloat import DF
+
+    hi, lo = fn(
+        A.diag_cols, A.diag_vals, diag_lo, A.off_cols, A.off_vals,
+        off_lo, A.send_idx, x_df.hi, x_df.lo,
+    )
+    return DF(hi, lo)

@@ -59,6 +59,7 @@ def solve_refined(
     inner_solve: Callable,
     rtol=1e-8,
     max_cycles=10,
+    matvec_df: Callable = None,
 ):
     """Iterative refinement driver (host loop over jitted cycles).
 
@@ -66,14 +67,22 @@ def solve_refined(
     whose true (f64) coefficients are carried in `A_df` via
     `make_df_operator`.  b_df: double-float RHS.  inner_solve: callable
     r_f32 -> dx_f32 (e.g. a jitted CG/MG solve to rtol ~1e-4).
+
+    matvec_df: optional compensated matvec x_df -> DF replacing the
+    stencil-planes default — e.g. `dist_csr.dist_aij_matvec_df` for
+    general sparse operators (the reference's f64 MATMPIAIJ equivalent,
+    ref /root/reference/src/SaddlePointProblem.c:70).  With it, A may be
+    any operator (only the inner solve uses it).
     """
-    planes_df = getattr(A, "planes_df", None)
-    if planes_df is None:
-        planes_df = DF(A.planes, jnp.zeros_like(A.planes))
+    if matvec_df is None:
+        planes_df = getattr(A, "planes_df", None)
+        if planes_df is None:
+            planes_df = DF(A.planes, jnp.zeros_like(A.planes))
+        matvec_df = lambda x_df: df_planes_matvec(planes_df, x_df)
 
     @jax.jit
     def residual(x_df):
-        return df_sub(b_df, df_planes_matvec(planes_df, x_df))
+        return df_sub(b_df, matvec_df(x_df))
 
     @jax.jit
     def update(x_df, dx):

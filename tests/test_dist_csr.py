@@ -209,3 +209,46 @@ def test_dist_aij_ilu0_converges_and_beats_jacobi(mesh1d):
     x = np.asarray(res.x)[: n * n]
     xd = spla.spsolve(A2.tocsc(), b)
     np.testing.assert_allclose(x, xd, atol=1e-5)
+
+
+def test_dist_aij_refined_reaches_1e10(mesh1d):
+    """rtol-1e-8-class accuracy on GENERAL sparse with f32-only compute:
+    double-float DistAIJ SpMV (dist_aij_matvec_df) + iterative refinement
+    reaches a true-f64 relative residual of 1e-10 — the f64 MATMPIAIJ
+    equivalence (ref /root/reference/src/SaddlePointProblem.c:70) for
+    operators with no stencil structure."""
+    import scipy.sparse.linalg as spla
+
+    from saddle_point_petsc_tpu.ops.doublefloat import DF, df_from_f64
+    from saddle_point_petsc_tpu.solvers import refine
+
+    n = 40
+    a64 = _poisson2d(n, n).astype(np.float64)
+    A, lo = dist_csr.dist_aij_df_from_scipy(a64, mesh1d)
+    rng = np.random.default_rng(5)
+    b64 = rng.standard_normal(n * n)
+    b_pad = np.zeros(A.n_pad)
+    b_pad[: n * n] = b64
+    bhi = b_pad.astype(np.float32)
+    blo = (b_pad - bhi.astype(np.float64)).astype(np.float32)
+    b_df = DF(
+        dist_csr.pad_vector(bhi, A.n_pad, mesh1d),
+        dist_csr.pad_vector(blo, A.n_pad, mesh1d),
+    )
+    pc = dist_csr.dist_aij_ilu0(A, sweeps=6)
+
+    def inner(r):
+        res = krylov.cg(A, r, M=pc, rtol=1e-5, maxiter=500)
+        return res.x, int(res.iterations)
+
+    out = refine.solve_refined(
+        A, b_df, inner, rtol=1e-10, max_cycles=10,
+        matvec_df=lambda x: dist_csr.dist_aij_matvec_df(A, lo, x),
+    )
+    assert out.rnorm <= 1e-10 * out.rnorm0, (out.rnorm, out.rnorm0)
+    assert out.cycles >= 2  # f32 alone cannot reach 1e-10
+    x64 = (
+        np.asarray(out.x.hi, np.float64) + np.asarray(out.x.lo, np.float64)
+    )[: n * n]
+    xd = spla.spsolve(a64.tocsc(), b64)
+    np.testing.assert_allclose(x64, xd, atol=1e-7)
