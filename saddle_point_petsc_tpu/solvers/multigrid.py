@@ -169,11 +169,20 @@ def galerkin_coarse_stencil_probe(op: StencilOperator):
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
     A: StencilOperator
-    smoother: Any  # PC applied as error smoother
+    smoother: Any  # PC applied as pre-smoother
+    post_smoother: Any = None  # defaults to `smoother` (None = same)
+
+    @property
+    def post(self):
+        return self.post_smoother if self.post_smoother is not None else (
+            self.smoother
+        )
 
 
 jax.tree_util.register_pytree_node(
-    MGLevel, lambda l: ((l.A, l.smoother), None), lambda _, d: MGLevel(*d)
+    MGLevel,
+    lambda l: ((l.A, l.smoother, l.post_smoother), None),
+    lambda _, d: MGLevel(*d),
 )
 
 
@@ -222,7 +231,7 @@ class MGPC:
         nxc = (r.shape[-1] + 1) // 2
         zc = self._vcycle(k + 1, restrict(res, nyc, nxc))
         z = z + prolong(zc, r.shape[-2], r.shape[-1])
-        z = z + lvl.smoother(r - lvl.A.matvec_field(z))  # post-smooth
+        z = z + lvl.post(r - lvl.A.matvec_field(z))  # post-smooth
         return z
 
 
@@ -314,8 +323,16 @@ def mg_pc(
             break
         if (ny - 1) % 2 or (nx - 1) % 2:
             break  # not coarsenable further (need odd node counts)
+        post = None
         if smoother == "sor":
             sm = precond.sor(op, omega=1.0, sweeps=1)
+        elif smoother == "sor-fb":
+            # forward pre / backward post: V-cycle symmetric as a whole at
+            # HALF the smoothing matvecs of SSOR at both ends (2 vs 4 per
+            # smoother application) — the fast V-cycle for FGMRES-class
+            # outers and the refined-KKT inner solve
+            sm = precond.sor(op, omega=1.0, sweeps=1, order="forward")
+            post = precond.sor(op, omega=1.0, sweeps=1, order="backward")
         elif smoother == "chebyshev":
             # Chebyshev smoothing targets the UPPER spectrum [lmax/4, lmax]
             # of the Jacobi-preconditioned operator (PETSc PCMG default
@@ -336,7 +353,7 @@ def mg_pc(
             sm = _DampedPBJacobi(base.inv_blocks, 0.8)
         else:
             raise ValueError(f"mg smoother {smoother!r}")
-        levels.append(MGLevel(op, sm))
+        levels.append(MGLevel(op, sm, post))
         op = galerkin_coarse_stencil(op)
     cny, cnx = op.grid_shape
     if cny * cnx * 2 > 32768:

@@ -413,18 +413,26 @@ def ilu0(csr: sp.CSR, sweeps: int = 6) -> ILU0PC:
 
 @dataclasses.dataclass(frozen=True)
 class RedBlackSORPC:
-    """Symmetric red-black Gauss-Seidel/SOR on a stencil operator.
+    """Red-black Gauss-Seidel/SOR on a stencil operator.
 
     The 9-point stencil couples each node only to the opposite color in the
     (i+j) 2-coloring for the 5-point part; with the full box stencil the
     coloring is approximate GS, which is still an effective smoother.  Each
     half-sweep is a full-grid masked stencil op — no sequential dependence.
+
+    order: "symmetric" (red-black-black-red SSOR, 4 matvecs/sweep — a
+    symmetric PC, valid under CG/MINRES), "forward" (red-black) or
+    "backward" (black-red), 2 matvecs/sweep.  A multigrid V-cycle with
+    forward pre-smoothing and backward post-smoothing is symmetric as a
+    whole at half the smoothing cost of SSOR at both ends
+    (solvers/multigrid.py uses exactly that pairing).
     """
 
     op: StencilOperator
     inv_blocks: Any  # (ny, nx, 2, 2)
     omega: float = 1.0
     sweeps: int = 1
+    order: str = "symmetric"
 
     def __call__(self, r):
         flat = False
@@ -442,15 +450,18 @@ class RedBlackSORPC:
             dz = jnp.einsum("yxcd,dyx->cyx", self.inv_blocks, res)
             return z + self.omega * jnp.where(color_mask, dz, 0.0)
 
+        colors = {
+            "symmetric": (red, ~red, ~red, red),
+            "forward": (red, ~red),
+            "backward": (~red, red),
+        }[self.order]
         for _ in range(self.sweeps):
-            z = half(z, red)
-            z = half(z, ~red)
-            z = half(z, ~red)  # symmetric sweep (SSOR ordering)
-            z = half(z, red)
+            for c in colors:
+                z = half(z, c)
         return field_to_flat(z) if flat else z
 
 
-_register(RedBlackSORPC, ("op", "inv_blocks"), ("omega", "sweeps"))
+_register(RedBlackSORPC, ("op", "inv_blocks"), ("omega", "sweeps", "order"))
 
 
 @jax.jit
@@ -460,8 +471,12 @@ def _inv_diag_blocks_jit(planes):
     return inv_small(StencilOperator(planes).diag_blocks())
 
 
-def sor(op: StencilOperator, omega=1.0, sweeps=1) -> RedBlackSORPC:
-    return RedBlackSORPC(op, _inv_diag_blocks_jit(op.planes), omega, sweeps)
+def sor(
+    op: StencilOperator, omega=1.0, sweeps=1, order="symmetric"
+) -> RedBlackSORPC:
+    return RedBlackSORPC(
+        op, _inv_diag_blocks_jit(op.planes), omega, sweeps, order
+    )
 
 
 # ---------------------------------------------------------------------------
