@@ -306,6 +306,18 @@ def bench_aij_tpu(n_nodes=512, reps=50):
     out["aij_tpu_dia_nnz_per_s"] = chain_nnz_per_s(
         lambda v: sp.dia_matvec(dia, v), x0
     )
+    try:
+        from saddle_point_petsc_tpu.ops.pallas.spmv import dia_spmv_pallas
+
+        interp = jax.default_backend() != "tpu"
+        out["aij_tpu_dia_pallas_nnz_per_s"] = chain_nnz_per_s(
+            lambda v: dia_spmv_pallas(
+                dia.data, v, dia.offsets, interpret=interp
+            ),
+            x0,
+        )
+    except Exception as e:
+        out["aij_tpu_dia_pallas_error"] = repr(e)[:120]
     out["aij_tpu_csr_nnz_per_s"] = chain_nnz_per_s(
         lambda v: sp.csr_matvec(csr, v), x0
     )

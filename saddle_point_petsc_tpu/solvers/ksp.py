@@ -230,9 +230,41 @@ class KSP:
             self.M = make_pc(self.pc_type, self.A, o, ksp_type=self.ksp_type)
         return self
 
+    def view(self):
+        """PETSc -ksp_view-style description of the configured solve."""
+        lines = [
+            "KSP Object:",
+            f"  type: {self.ksp_type}",
+            (
+                f"  maximum iterations={self.max_it}, "
+                f"tolerances: relative={self.rtol:g}, "
+                f"absolute={self.atol:g}, divergence={self.dtol:g}"
+            ),
+            f"  norm type: {self.norm_type}",
+        ]
+        if self.ksp_type in ("gmres", "fgmres"):
+            lines.append(f"  restart={self.restart}")
+        lines += [
+            "PC Object:",
+            f"  type: {self.pc_type}",
+            f"  implementation: {type(self.M).__name__}"
+            if self.M is not None
+            else "  (not set up)",
+        ]
+        if self.A is not None:
+            shape = getattr(self.A, "shape", None)
+            lines.append(
+                f"Mat Object: {type(self.A).__name__}"
+                + (f", size {shape[0]}x{shape[1]}" if shape else "")
+            )
+        return "\n".join(lines)
+
     def solve(self, b, x0=None) -> krylov.KrylovResult:
         if self.M is None:
             self.set_up()
+        ov = self.opts.scoped(self.prefix) if self.prefix else self.opts
+        if ov.get_bool("ksp_view"):
+            print(self.view())
         kwargs = dict(
             M=self.M,
             x0=x0,

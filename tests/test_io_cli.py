@@ -194,3 +194,23 @@ def test_cli_dist_mode(tmp_path, capsys, monkeypatch):
     pts, polys, u = read_vtk_points(str(tmp_path / "test.vtk"))
     assert pts.shape[0] == 17 * 17  # true grid, padding cropped
     assert u is not None
+
+
+def test_ksp_view_option(capsys):
+    """-ksp_view prints the configured solver/PC description (PETSc
+    KSPView parity) before the solve."""
+    import jax.numpy as jnp
+
+    from saddle_point_petsc_tpu.models import poisson
+    from saddle_point_petsc_tpu.solvers.ksp import KSP
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    prob = poisson.assemble_poisson(8, 8)
+    ksp = KSP(Options(["-ksp_type", "cg", "-pc_type", "jacobi",
+                       "-ksp_view", "-ksp_rtol", "1e-8"]))
+    ksp.set_operators(prob.A).set_from_options().set_up()
+    res = ksp.solve(prob.f)
+    out = capsys.readouterr().out
+    assert "KSP Object:" in out and "type: cg" in out
+    assert "PC Object:" in out and "type: jacobi" in out
+    assert int(res.converged_reason) > 0
