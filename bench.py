@@ -434,10 +434,11 @@ def main():
     # the better one is the headline (VERDICT r2 weak #1: captured ==
     # claimed, best-of like the SpMV backends)
     kinds = {}
+    kn = int(os.environ.get("BENCH_KKT_N", "257"))  # 1025 favors the MG kind
     for kind in ("minres", "fgmres-mg"):
         try:
             t_ref, cycles, inner_its, rrel8 = bench_refined_kkt(
-                inner_kind=kind
+                n_nodes=kn, inner_kind=kind
             )
             kinds[kind] = (t_ref, cycles, inner_its, rrel8)
         except Exception as e:

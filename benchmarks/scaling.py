@@ -10,7 +10,7 @@ absolute throughput comes from bench.py on the real chip.
 
 Run standalone:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/scaling.py [n_nodes] [reps]
+        python benchmarks/scaling.py [n_nodes=1024] [reps=10]
 prints one JSON line; bench.py invokes it as a subprocess and merges the
 keys into the driver JSON.
 """
