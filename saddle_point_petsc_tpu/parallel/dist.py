@@ -225,7 +225,8 @@ class DistStencilOperator:
         north star pairs with SpMV (BASELINE.json "distributed SpMV/SpMM")."""
 
         def local(planes, Xl):
-            Xp = halo_exchange(Xl)  # (k, 2, my+2, mx+2): one exchange
+            # (k, 2, my+2, mx+2): one single-phase exchange for all k rhs
+            Xp = halo_exchange_1phase(Xl)
             if self.backend == "pallas":
                 from saddle_point_petsc_tpu.ops.pallas.spmv import (
                     stencil_spmv_pallas_padded,
