@@ -200,4 +200,53 @@ void sptpu_rcm(int64_t n, const int32_t* indptr, const int32_t* indices,
   for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];  // reverse
 }
 
+// ---------------------------------------------------------------------------
+// Greedy standard aggregation over a strength graph (smoothed-aggregation
+// AMG setup: the PCSetUp-time part of PETSc's PCGAMG "agg" type).
+// indptr/indices: CSR of the STRONG off-diagonal connections (symmetric).
+// agg (out, length n): aggregate id per node.  Returns aggregate count.
+// Three passes (Vanek/Mandel/Brezina):
+//   1. a node whose strong neighbours are all unaggregated roots a new
+//      aggregate containing itself + those neighbours;
+//   2. remaining nodes attach to the strongest-connected adjacent aggregate
+//      (first adjacent here: ties are irrelevant for M-matrices);
+//   3. leftovers (isolated pockets) form aggregates with any still-free
+//      strong neighbours.
+// ---------------------------------------------------------------------------
+int64_t sptpu_aggregate(int64_t n, const int32_t* indptr,
+                        const int32_t* indices, int32_t* agg) {
+  for (int64_t i = 0; i < n; ++i) agg[i] = -1;
+  int32_t na = 0;
+  for (int64_t i = 0; i < n; ++i) {  // pass 1
+    if (agg[i] >= 0) continue;
+    bool free_nbhd = true;
+    for (int32_t p = indptr[i]; p < indptr[i + 1] && free_nbhd; ++p)
+      if (agg[indices[p]] >= 0) free_nbhd = false;
+    if (!free_nbhd) continue;
+    agg[i] = na;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      agg[indices[p]] = na;
+    ++na;
+  }
+  std::vector<int32_t> attach(n, -1);  // pass 2 (decided on the pass-1 state)
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (agg[indices[p]] >= 0) {
+        attach[i] = agg[indices[p]];
+        break;
+      }
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (attach[i] >= 0) agg[i] = attach[i];
+  for (int64_t i = 0; i < n; ++i) {  // pass 3
+    if (agg[i] >= 0) continue;
+    agg[i] = na;
+    for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (agg[indices[p]] < 0) agg[indices[p]] = na;
+    ++na;
+  }
+  return na;
+}
+
 }  // extern "C"

@@ -1,0 +1,343 @@
+"""Algebraic multigrid (smoothed aggregation) for general sparse operators.
+
+The MATAIJ-class counterpart of the geometric `solvers/multigrid.py`: PETSc
+users reach this as `-pc_type gamg` (PCGAMG, default type "agg"), selected
+at runtime through KSPSetFromOptions — the same options-driven PC slot the
+reference drives at /root/reference/src/SaddlePointProblem.c:67.  Where the
+geometric hierarchy needs the structured stencil grid, this one needs only
+the assembled sparse matrix, so it covers unstructured / re-ordered / DIA
+/CSR operators.
+
+Split TPU-first:
+
+- **Setup is host-side** (PETSc does PCSetUp on the CPU too): strength
+  graph, greedy aggregation (native C++ `sptpu_aggregate` with a numpy
+  fallback), tentative piecewise-constant prolongator smoothed by one
+  damped-Jacobi step (Vanek/Mandel/Brezina smoothed aggregation), Galerkin
+  triple products in scipy.  Per-level spectral bounds for the smoother are
+  also estimated here, so the device apply is reduction-free.
+- **Apply is one jitted device program**: every level stores A, P and
+  R = P^T as ELL (fixed entries/row: SpMV = dense gather + row-reduction,
+  no indirect accumulation — the TPU-friendly general-sparse layout, see
+  ops/sparse.py), smoothed with fixed-coefficient Chebyshev over the
+  Jacobi-scaled operator (inner-product-free: zero psums), and the
+  coarsest level is applied as a dense MXU matmul with a host-factorized
+  inverse.
+
+The V-cycle uses R = P^T and the same symmetric Chebyshev smoother pre and
+post, so the PC is symmetric positive definite for SPD A — valid under
+CG/MINRES.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saddle_point_petsc_tpu.ops import sparse as sp
+from saddle_point_petsc_tpu.solvers import precond
+
+
+@dataclasses.dataclass(frozen=True)
+class _EllOp:
+    """Callable wrapper making an ELL matrix a Krylov/PC operator."""
+
+    ell: sp.ELL
+
+    def __call__(self, x):
+        return sp.ell_matvec(self.ell, x)
+
+    def diagonal(self):
+        m, _ = self.ell.shape
+        hit = self.ell.cols == jnp.arange(m)[:, None]
+        return jnp.sum(jnp.where(hit, self.ell.vals, 0.0), axis=1)
+
+
+jax.tree_util.register_pytree_node(
+    _EllOp, lambda o: ((o.ell,), None), lambda m, d: _EllOp(*d)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGLevel:
+    A: _EllOp
+    P: sp.ELL  # prolongation (n_f x n_c)
+    R: sp.ELL  # restriction = P^T (n_c x n_f)
+    smoother: Any  # ChebyshevPC (symmetric)
+
+
+jax.tree_util.register_pytree_node(
+    AMGLevel,
+    lambda l: ((l.A, l.P, l.R, l.smoother), None),
+    lambda m, d: AMGLevel(*d),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGPC:
+    """Smoothed-aggregation AMG V-cycle as a (symmetric, linear) PC."""
+
+    levels: Tuple[AMGLevel, ...]
+    coarse_inv: Any  # dense inverse of the coarsest Galerkin operator
+    cycles: int = 1
+    field_shape: Any = None  # (ny, nx) when built from a stencil operator
+
+    def __call__(self, r):
+        field = r.ndim == 3 and self.field_shape is not None
+        if field:  # canonical (2, ny, nx) stencil field -> flat CSR order
+            from saddle_point_petsc_tpu.ops.stencil import field_to_flat
+
+            r = field_to_flat(r)
+        z = jnp.zeros_like(r)
+        for _ in range(self.cycles):
+            z = z + self._vcycle(0, r - self.levels[0].A(z))
+        if field:
+            from saddle_point_petsc_tpu.ops.stencil import flat_to_field
+
+            z = flat_to_field(z, *self.field_shape)
+        return z
+
+    def _vcycle(self, k, r):
+        if k == len(self.levels):
+            return self.coarse_inv @ r
+        lvl = self.levels[k]
+        z = lvl.smoother(r)  # pre-smooth from zero initial guess
+        rc = sp.ell_matvec(lvl.R, r - lvl.A(z))
+        z = z + sp.ell_matvec(lvl.P, self._vcycle(k + 1, rc))
+        return z + lvl.smoother(r - lvl.A(z))  # post-smooth
+
+
+jax.tree_util.register_pytree_node(
+    AMGPC,
+    lambda m: ((m.levels, m.coarse_inv), (m.cycles, m.field_shape)),
+    lambda meta, d: AMGPC(*d, *meta),
+)
+
+
+# ---------------------------------------------------------------------------
+# Host-side setup
+# ---------------------------------------------------------------------------
+
+
+def _to_scipy(A):
+    import scipy.sparse as sps
+
+    if isinstance(A, sp.CSR):
+        return sp.csr_to_scipy(A).tocsr()
+    if isinstance(A, sp.DIA):
+        # round-trip through dense is wasteful; build from the bands
+        m, n = A.shape
+        data = np.asarray(A.data, np.float64)
+        return sps.dia_matrix((data, A.offsets), shape=(m, n)).tocsr()
+    if sps.issparse(A):
+        return A.tocsr()
+    from saddle_point_petsc_tpu.ops.stencil import (
+        StencilOperator,
+        stencil_to_coo,
+    )
+
+    if isinstance(A, StencilOperator):
+        coo = stencil_to_coo(A.W)
+        rows = np.asarray(coo.rows)
+        cols = np.asarray(coo.cols)
+        vals = np.asarray(coo.vals, np.float64)
+        keep = (rows >= 0) & (cols >= 0)  # drop out-of-grid padding entries
+        return sps.coo_matrix(
+            (vals[keep], (rows[keep], cols[keep])), shape=coo.shape
+        ).tocsr()
+    raise TypeError(f"gamg: unsupported operator {type(A).__name__}")
+
+
+def _strength_graph(Asp, theta):
+    """Symmetric strength of connection: keep off-diagonal (i,j) with
+    |a_ij| >= theta * sqrt(|a_ii a_jj|).  theta=0 keeps the full graph."""
+    import scipy.sparse as sps
+
+    a = Asp.tocoo()
+    d = np.abs(Asp.diagonal())
+    d = np.where(d == 0.0, 1.0, d)
+    off = a.row != a.col
+    strong = off & (
+        np.abs(a.data) >= theta * np.sqrt(d[a.row] * d[a.col])
+    )
+    S = sps.csr_matrix(
+        (
+            np.ones(np.count_nonzero(strong), np.int8),
+            (a.row[strong], a.col[strong]),
+        ),
+        shape=Asp.shape,
+    )
+    return S.maximum(S.T)  # symmetrize
+
+
+def _aggregate_numpy(indptr, indices, n):
+    """Pure-python fallback for native.aggregate (same 3-pass algorithm)."""
+    agg = -np.ones(n, np.int32)
+    na = 0
+    for i in range(n):  # pass 1
+        if agg[i] >= 0:
+            continue
+        nb = indices[indptr[i] : indptr[i + 1]]
+        if np.all(agg[nb] < 0):
+            agg[i] = na
+            agg[nb] = na
+            na += 1
+    attach = -np.ones(n, np.int32)  # pass 2
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nb = indices[indptr[i] : indptr[i + 1]]
+        hit = agg[nb]
+        hit = hit[hit >= 0]
+        if hit.size:
+            attach[i] = hit[0]
+    agg = np.where(attach >= 0, attach, agg)
+    for i in range(n):  # pass 3
+        if agg[i] >= 0:
+            continue
+        agg[i] = na
+        nb = indices[indptr[i] : indptr[i + 1]]
+        free = nb[agg[nb] < 0]
+        agg[free] = na
+        na += 1
+    return agg, int(na)
+
+
+def _aggregate(S):
+    n = S.shape[0]
+    try:
+        from saddle_point_petsc_tpu.utils import native
+
+        return native.aggregate(S.indptr, S.indices, n)
+    except Exception:
+        return _aggregate_numpy(S.indptr, S.indices, n)
+
+
+def _rho_dinv_a(Asp, iters=15, seed=0):
+    """Power-iteration estimate of the spectral radius of D^-1 A (host)."""
+    d = Asp.diagonal()
+    d = np.where(d == 0.0, 1.0, d)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(Asp.shape[0])
+    lam = 1.0
+    for _ in range(iters):
+        w = (Asp @ v) / d
+        lam = float(np.linalg.norm(w))
+        if lam == 0.0:
+            return 1.0
+        v = w / lam
+    return lam
+
+
+def _scipy_to_ell(Asp, dtype):
+    Asp = Asp.tocsr()
+    Asp.sort_indices()
+    counts = np.diff(Asp.indptr)
+    k = max(int(counts.max()) if counts.size else 1, 1)
+    m = Asp.shape[0]
+    cols = -np.ones((m, k), np.int32)
+    vals = np.zeros((m, k), np.float64)
+    # vectorized fill: entry j of row i lands in slot j - indptr[i]
+    rows_of = np.repeat(np.arange(m), counts)
+    slot = np.arange(Asp.nnz) - np.repeat(Asp.indptr[:-1], counts)
+    cols[rows_of, slot] = Asp.indices
+    vals[rows_of, slot] = Asp.data
+    return sp.ELL(
+        jnp.asarray(cols), jnp.asarray(vals, dtype), tuple(Asp.shape)
+    )
+
+
+def amg_pc(
+    A,
+    opts=None,
+    theta=0.08,
+    coarse_max=500,
+    max_levels=10,
+    smooth_its=2,
+    cycles=1,
+    dtype=None,
+) -> AMGPC:
+    """Build the smoothed-aggregation hierarchy (host) and the device PC.
+
+    Options (PETSc PCGAMG-style names): -pc_gamg_threshold <theta>,
+    -pc_gamg_coarse_eq_limit <n>, -pc_mg_levels <n>, -pc_mg_cycles <n>,
+    -pc_gamg_smooth_its <k> (Chebyshev degree of the level smoother).
+    """
+    import scipy.sparse as sps
+
+    if opts is not None:
+        theta = opts.get_float("pc_gamg_threshold", theta)
+        coarse_max = opts.get_int("pc_gamg_coarse_eq_limit", coarse_max)
+        max_levels = opts.get_int("pc_mg_levels", max_levels)
+        cycles = opts.get_int("pc_mg_cycles", cycles)
+        smooth_its = opts.get_int("pc_gamg_smooth_its", smooth_its)
+
+    Asp = _to_scipy(A).astype(np.float64)
+    if dtype is None:
+        leaves = [
+            l
+            for l in jax.tree_util.tree_leaves(A)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        ]
+        dtype = leaves[0].dtype if leaves else jnp.float32
+    levels = []
+    while len(levels) < max_levels - 1 and Asp.shape[0] > coarse_max:
+        n = Asp.shape[0]
+        S = _strength_graph(Asp, theta)
+        agg, na = _aggregate(S)
+        if na >= n:  # no coarsening possible (e.g. diagonal matrix)
+            break
+        # tentative piecewise-constant prolongator, columns normalized
+        # (near-nullspace = constants; correct for the scalar Poisson class)
+        sizes = np.bincount(agg, minlength=na).astype(np.float64)
+        P0 = sps.csr_matrix(
+            (
+                1.0 / np.sqrt(sizes[agg]),
+                (np.arange(n), agg),
+            ),
+            shape=(n, na),
+        )
+        # smooth: P = (I - omega D^-1 A) P0,  omega = (4/3) / rho(D^-1 A)
+        rho = _rho_dinv_a(Asp)
+        d = Asp.diagonal()
+        d = np.where(d == 0.0, 1.0, d)
+        Dinv = sps.diags(1.0 / d)
+        P = (P0 - (4.0 / (3.0 * rho)) * (Dinv @ (Asp @ P0))).tocsr()
+        Ac = (P.T @ Asp @ P).tocsr()
+        Ac.eliminate_zeros()
+        # level smoother: Chebyshev(jacobi) on [rho/4, 1.1*rho]
+        A_ell = _EllOp(_scipy_to_ell(Asp, dtype))
+        inv_diag = jnp.asarray(1.0 / d, dtype)
+        sm = precond.ChebyshevPC(
+            A_ell,
+            precond.JacobiPC(inv_diag),
+            lmin=rho / 4.0,
+            lmax=1.1 * rho,
+            iters=smooth_its,
+        )
+        levels.append(
+            AMGLevel(
+                A_ell,
+                _scipy_to_ell(P, dtype),
+                _scipy_to_ell(P.T.tocsr(), dtype),
+                sm,
+            )
+        )
+        Asp = Ac
+    if Asp.shape[0] > 32768:
+        raise ValueError(
+            f"gamg: coarsest level still has {Asp.shape[0]} rows; "
+            "raise -pc_mg_levels or -pc_gamg_coarse_eq_limit"
+        )
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(Asp.toarray() + 0.0), dtype
+    )
+    from saddle_point_petsc_tpu.ops.stencil import StencilOperator
+
+    field_shape = (
+        tuple(A.grid_shape) if isinstance(A, StencilOperator) else None
+    )
+    return AMGPC(tuple(levels), coarse_inv, cycles, field_shape)

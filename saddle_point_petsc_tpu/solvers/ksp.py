@@ -13,8 +13,9 @@ Supported options (prefix-scoped; defaults follow PETSc where sensible):
   -ksp_norm_type {preconditioned,unpreconditioned,natural}  [preconditioned]
   -ksp_monitor                    (per-iteration residual printing)
   -ksp_converged_reason           (print reason after solve)
-  -pc_type {none,jacobi,pbjacobi,sor,bjacobi,ilu,chebyshev,fieldsplit,mg}
-           [jacobi]
+  -pc_type {none,jacobi,pbjacobi,sor,bjacobi,ilu,chebyshev,fieldsplit,mg,
+            gamg}  [jacobi]
+  -pc_gamg_threshold <t> [0.08]   -pc_gamg_coarse_eq_limit <n> [500]
   -pc_bjacobi_blocks <n>  [4]     -pc_sor_omega <w> [1.0]
   -pc_ilu_sweeps <k>  [6]         (0 = exact sequential triangular solves)
   -pc_fieldsplit_type {additive,multiplicative,schur}
@@ -180,6 +181,12 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
         if isinstance(A, DistStencilOperator):
             return mg_pc_dist(A, opts)
         return mg_pc(A, opts)
+    if pc_type == "gamg":
+        # PCGAMG (smoothed aggregation): the algebraic hierarchy for
+        # general sparse (MATAIJ-class) operators — no grid needed.
+        from saddle_point_petsc_tpu.solvers.amg import amg_pc
+
+        return amg_pc(A, opts)
     raise ValueError(f"unknown pc_type {pc_type!r}")
 
 

@@ -63,6 +63,8 @@ def _lib():
         ]
         lib.sptpu_rcm.restype = None
         lib.sptpu_rcm.argtypes = [ctypes.c_int64, i32p, i32p, i32p]
+        lib.sptpu_aggregate.restype = ctypes.c_int64
+        lib.sptpu_aggregate.argtypes = [ctypes.c_int64, i32p, i32p, i32p]
         _LIB = lib
     return _LIB
 
@@ -133,6 +135,19 @@ def upper_solve(indptr, indices, data, b):
         x,
     )
     return x
+
+
+def aggregate(indptr, indices, n):
+    """Greedy standard aggregation on a strength graph -> (agg ids, count)."""
+    lib = _lib()
+    agg = np.zeros(n, np.int32)
+    na = lib.sptpu_aggregate(
+        n,
+        np.ascontiguousarray(indptr, np.int32),
+        np.ascontiguousarray(indices, np.int32),
+        agg,
+    )
+    return agg, int(na)
 
 
 def rcm(indptr, indices, n):

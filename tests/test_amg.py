@@ -1,0 +1,131 @@
+"""Smoothed-aggregation AMG (-pc_type gamg) tests.
+
+The algebraic counterpart of the geometric MG tests: hierarchy built from
+the assembled sparse matrix only (no grid), V-cycle applied as a jitted
+device program over ELL operators.  PETSc parity target: PCGAMG type
+"agg" as the general-sparse strong preconditioner slot
+(/root/reference/src/SaddlePointProblem.c:67 SetFromOptions semantics).
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from saddle_point_petsc_tpu.ops import sparse as sp
+from saddle_point_petsc_tpu.solvers import krylov
+from saddle_point_petsc_tpu.solvers.amg import amg_pc
+from saddle_point_petsc_tpu.solvers.ksp import make_pc
+from saddle_point_petsc_tpu.utils.options import Options
+
+
+def poisson2d(n):
+    ix = sps.identity(n)
+    t = sps.diags([-1.0, 4.0, -1.0], [-1, 0, 1], (n, n))
+    return (sps.kron(ix, t) + sps.kron(t, ix)).tocsr()
+
+
+def _solve(a_sp, M, rtol=1e-8, maxiter=300):
+    csr = sp.scipy_to_csr(a_sp.astype(np.float64))
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(a_sp.shape[0]))
+    res = krylov.cg(
+        lambda v: sp.csr_matvec(csr, v), b, M=M, rtol=rtol, maxiter=maxiter
+    )
+    rrel = float(
+        np.linalg.norm(a_sp @ np.asarray(res.x) - np.asarray(b))
+        / np.linalg.norm(np.asarray(b))
+    )
+    return int(res.iterations), rrel, res
+
+
+def test_gamg_poisson_converges_fast():
+    a = poisson2d(48)  # 2304 rows -> 2+ AMG levels at coarse_max=100
+    M = amg_pc(
+        sp.scipy_to_csr(a.astype(np.float64)),
+        coarse_max=100,
+        dtype=jnp.float64,
+    )
+    assert len(M.levels) >= 2
+    its, rrel, res = _solve(a, M)
+    assert int(res.converged_reason) > 0
+    assert rrel < 1e-7
+    # AMG-class convergence: O(10) iterations where jacobi needs O(100)
+    assert its <= 25
+    its_j, _, _ = _solve(
+        a, make_pc("jacobi", sp.scipy_to_csr(a.astype(np.float64)))
+    )
+    assert its_j > 2 * its
+
+
+def test_gamg_iterations_grid_independent():
+    """The AMG promise: iteration counts roughly flat as n grows."""
+    counts = []
+    for n in (24, 48, 96):
+        a = poisson2d(n)
+        M = amg_pc(
+            sp.scipy_to_csr(a.astype(np.float64)), dtype=jnp.float64
+        )
+        its, rrel, _ = _solve(a, M)
+        assert rrel < 1e-7
+        counts.append(its)
+    assert counts[-1] <= counts[0] + 6  # flat-ish, not O(n) growth
+
+
+def test_gamg_vcycle_symmetric():
+    """<M r1, r2> == <r1, M r2>: required for CG/MINRES validity."""
+    a = poisson2d(32)
+    M = amg_pc(sp.scipy_to_csr(a.astype(np.float64)), dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    r1 = jnp.asarray(rng.standard_normal(a.shape[0]))
+    r2 = jnp.asarray(rng.standard_normal(a.shape[0]))
+    s1 = float(jnp.vdot(M(r1), r2))
+    s2 = float(jnp.vdot(r1, M(r2)))
+    assert abs(s1 - s2) <= 1e-10 * max(abs(s1), 1.0)
+
+
+def test_gamg_through_options():
+    """-pc_type gamg reaches the PC factory with PCGAMG option names."""
+    a = poisson2d(32)
+    csr = sp.scipy_to_csr(a.astype(np.float64))
+    opts = Options(
+        ["-pc_type", "gamg", "-pc_gamg_threshold", "0.05",
+         "-pc_gamg_coarse_eq_limit", "200"]
+    )
+    M = make_pc(opts.get_str("pc_type", ""), csr, opts)
+    its, rrel, res = _solve(a, M)
+    assert int(res.converged_reason) > 0 and rrel < 1e-7
+
+
+def test_gamg_unstructured_permutation_invariant_class():
+    """No grid assumption: a random symmetric permutation of the Poisson
+    matrix (structure AMG can't see geometrically) still converges in
+    AMG-class iteration counts."""
+    a = poisson2d(40)
+    rng = np.random.default_rng(11)
+    p = rng.permutation(a.shape[0])
+    Pm = sps.identity(a.shape[0]).tocsr()[p]
+    ap = (Pm @ a @ Pm.T).tocsr()
+    M = amg_pc(sp.scipy_to_csr(ap.astype(np.float64)), dtype=jnp.float64)
+    its, rrel, res = _solve(ap, M)
+    assert int(res.converged_reason) > 0
+    assert rrel < 1e-7 and its <= 30
+
+
+def test_native_aggregate_matches_numpy():
+    from saddle_point_petsc_tpu.solvers.amg import (
+        _aggregate_numpy,
+        _strength_graph,
+    )
+    from saddle_point_petsc_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    a = poisson2d(20)
+    S = _strength_graph(a, 0.08)
+    agg_c, na_c = native.aggregate(S.indptr, S.indices, S.shape[0])
+    agg_py, na_py = _aggregate_numpy(S.indptr, S.indices, S.shape[0])
+    assert na_c == na_py
+    assert np.array_equal(agg_c, agg_py)
+    # every node aggregated, ids dense in [0, na)
+    assert agg_c.min() >= 0 and agg_c.max() == na_c - 1
