@@ -196,6 +196,48 @@ class DistAIJ:
         isdiag = self.diag_cols == rloc
         return jnp.sum(jnp.where(isdiag, self.diag_vals, 0.0), axis=1)
 
+    def to_scipy(self):
+        """Reconstruct the global (true-size) matrix on host.
+
+        Inverts the diag/offdiag + scatter-plan storage: ghost slot
+        s*max_send + t on shard d refers to global column
+        s*n_loc + send_idx[s, d, t].  Setup-time utility (MatView parity,
+        AMG setup); never on the solve path."""
+        import scipy.sparse as sps
+
+        dc = np.asarray(jax.device_get(self.diag_cols))
+        dv = np.asarray(jax.device_get(self.diag_vals))
+        oc = np.asarray(jax.device_get(self.off_cols))
+        ov = np.asarray(jax.device_get(self.off_vals))
+        sidx = np.asarray(jax.device_get(self.send_idx))
+        ndev, n_loc = self.ndev, self.n_loc
+        rows, cols, vals = [], [], []
+        for d in range(ndev):
+            sl = slice(d * n_loc, (d + 1) * n_loc)
+            c, v = dc[sl], dv[sl]
+            ri, ki = np.nonzero(c >= 0)
+            rows.append(ri + d * n_loc)
+            cols.append(c[ri, ki].astype(np.int64) + d * n_loc)
+            vals.append(v[ri, ki])
+            gcols = (
+                np.arange(ndev, dtype=np.int64)[:, None] * n_loc
+                + sidx[:, d, :]
+            ).reshape(-1)
+            c, v = oc[sl], ov[sl]
+            ri, ki = np.nonzero(c >= 0)
+            rows.append(ri + d * n_loc)
+            cols.append(gcols[c[ri, ki]])
+            vals.append(v[ri, ki])
+        m, n = self.shape
+        a = sps.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(self.n_pad, self.n_pad),
+        ).tocsr()
+        return a[:m, :n]
+
     def diag_block_operator(self):
         """The block-diagonal part: offdiag dropped -> shards decouple.
 

@@ -341,3 +341,171 @@ def amg_pc(
         tuple(A.grid_shape) if isinstance(A, StencilOperator) else None
     )
     return AMGPC(tuple(levels), coarse_inv, cycles, field_shape)
+
+
+# ---------------------------------------------------------------------------
+# Distributed AMG: gamg over DistAIJ (MATMPIAIJ-class)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DistAMGLevel:
+    A: Any  # DistAIJ (n_pad_f)
+    P: Any  # DistAIJ, square n_pad_f: coarse (embedded) -> fine
+    R: Any  # DistAIJ, square n_pad_f: fine -> coarse (embedded)
+    smoother: Any  # ChebyshevPC over the DistAIJ matvec
+    n_pad_c: int  # padded vector length of the next level
+
+
+jax.tree_util.register_pytree_node(
+    DistAMGLevel,
+    lambda l: ((l.A, l.P, l.R, l.smoother), (l.n_pad_c,)),
+    lambda m, d: DistAMGLevel(*d, *m),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistAMGPC:
+    """Smoothed-aggregation AMG over row-sharded DistAIJ operators.
+
+    Every operator application — level matvecs, restriction, prolongation
+    — is the MATMPIAIJ SpMV with its ghost-only `all_to_all` (comm volume
+    O(interface), independent of n); smoothers are inner-product-free
+    Chebyshev; level transfers reshard via plain-jit slicing/padding (XLA
+    inserts the redistribution collective).  PETSc parity: PCGAMG on a
+    parallel MATAIJ, the strong-PC slot of the parallel default stack
+    (/root/reference/src/SaddlePointProblem.c:67)."""
+
+    levels: Tuple[DistAMGLevel, ...]
+    coarse_inv: Any  # dense (n_pad_last, n_pad_last), pad rows identity
+    cycles: int = 1
+
+    def __call__(self, r):
+        z = jnp.zeros_like(r)
+        for _ in range(self.cycles):
+            z = z + self._vcycle(0, r - self.levels[0].A.matvec(z))
+        return z
+
+    def _vcycle(self, k, r):
+        if k == len(self.levels):
+            return self.coarse_inv @ r
+        lvl = self.levels[k]
+        z = lvl.smoother(r)
+        rc = lvl.R.matvec(r - lvl.A.matvec(z))[: lvl.n_pad_c]
+        zc = self._vcycle(k + 1, rc)
+        z = z + lvl.P.matvec(
+            jnp.pad(zc, (0, r.shape[0] - lvl.n_pad_c))
+        )
+        return z + lvl.smoother(r - lvl.A.matvec(z))
+
+
+jax.tree_util.register_pytree_node(
+    DistAMGPC,
+    lambda m: ((m.levels, m.coarse_inv), (m.cycles,)),
+    lambda meta, d: DistAMGPC(*d, *meta),
+)
+
+
+def _embed_square(P, size):
+    """Embed a rectangular scipy matrix in the top-left of a size² square
+    (zero rows/cols elsewhere) so it rides the square DistAIJ machinery."""
+    import scipy.sparse as sps
+
+    P = P.tocoo()
+    return sps.csr_matrix(
+        (P.data, (P.row, P.col)), shape=(size, size)
+    )
+
+
+def dist_amg_pc(
+    A,
+    opts=None,
+    a_scipy=None,
+    theta=0.08,
+    coarse_max=500,
+    max_levels=10,
+    smooth_its=2,
+    cycles=1,
+) -> DistAMGPC:
+    """Build the distributed SA-AMG hierarchy for a DistAIJ.
+
+    Setup is host-side (PCSetUp): the global matrix is either passed
+    (`a_scipy`, e.g. straight from assembly) or reconstructed from the
+    sharded blocks (`DistAIJ.to_scipy`).  The same strength/aggregation/
+    smoothed-prolongator pipeline as the serial `amg_pc` produces each
+    level; every level's operators are then re-partitioned as DistAIJ
+    over the SAME mesh, so serial and distributed hierarchies are
+    mathematically identical (iterate-parity tested)."""
+    import scipy.sparse as sps
+
+    from saddle_point_petsc_tpu.parallel.dist_csr import (
+        dist_aij_from_scipy,
+    )
+
+    if opts is not None:
+        theta = opts.get_float("pc_gamg_threshold", theta)
+        coarse_max = opts.get_int("pc_gamg_coarse_eq_limit", coarse_max)
+        max_levels = opts.get_int("pc_mg_levels", max_levels)
+        cycles = opts.get_int("pc_mg_cycles", cycles)
+        smooth_its = opts.get_int("pc_gamg_smooth_its", smooth_its)
+
+    mesh = A.mesh
+    np_dtype = np.dtype(str(A.diag_vals.dtype))
+    Asp = (a_scipy if a_scipy is not None else A.to_scipy()).tocsr()
+    Asp = Asp.astype(np.float64)
+    cur_dev, cur_sp = A, Asp
+    levels = []
+    while len(levels) < max_levels - 1 and cur_sp.shape[0] > coarse_max:
+        n = cur_sp.shape[0]
+        S = _strength_graph(cur_sp, theta)
+        agg, na = _aggregate(S)
+        if na >= n:
+            break
+        sizes = np.bincount(agg, minlength=na).astype(np.float64)
+        P0 = sps.csr_matrix(
+            (1.0 / np.sqrt(sizes[agg]), (np.arange(n), agg)),
+            shape=(n, na),
+        )
+        rho = _rho_dinv_a(cur_sp)
+        d = cur_sp.diagonal()
+        d = np.where(d == 0.0, 1.0, d)
+        P = (
+            P0
+            - (4.0 / (3.0 * rho))
+            * (sps.diags(1.0 / d) @ (cur_sp @ P0))
+        ).tocsr()
+        Ac = (P.T @ cur_sp @ P).tocsr()
+        Ac.eliminate_zeros()
+        n_pad_f = cur_dev.n_pad
+        Pd = dist_aij_from_scipy(
+            _embed_square(P, n_pad_f), mesh, dtype=np_dtype
+        )
+        Rd = dist_aij_from_scipy(
+            _embed_square(P.T.tocsr(), n_pad_f), mesh, dtype=np_dtype
+        )
+        ivd = np.ones(n_pad_f, np.float64)  # pad rows: identity scaling
+        ivd[:n] = 1.0 / d
+        sm = precond.ChebyshevPC(
+            cur_dev,
+            precond.JacobiPC(jnp.asarray(ivd, np_dtype)),
+            lmin=rho / 4.0,
+            lmax=1.1 * rho,
+            iters=smooth_its,
+        )
+        next_dev = dist_aij_from_scipy(Ac, mesh, dtype=np_dtype)
+        levels.append(
+            DistAMGLevel(cur_dev, Pd, Rd, sm, next_dev.n_pad)
+        )
+        cur_dev, cur_sp = next_dev, Ac
+    n_c = cur_sp.shape[0]
+    if n_c > 32768:
+        raise ValueError(
+            f"gamg: coarsest level still has {n_c} rows; raise "
+            "-pc_mg_levels or -pc_gamg_coarse_eq_limit"
+        )
+    n_pad_last = cur_dev.n_pad
+    dense = np.eye(n_pad_last)
+    dense[:n_c, :n_c] = np.linalg.inv(cur_sp.toarray())
+    return DistAMGPC(
+        tuple(levels), jnp.asarray(dense, np_dtype), cycles
+    )

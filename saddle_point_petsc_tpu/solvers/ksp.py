@@ -184,8 +184,11 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
     if pc_type == "gamg":
         # PCGAMG (smoothed aggregation): the algebraic hierarchy for
         # general sparse (MATAIJ-class) operators — no grid needed.
-        from saddle_point_petsc_tpu.solvers.amg import amg_pc
+        from saddle_point_petsc_tpu.parallel.dist_csr import DistAIJ
+        from saddle_point_petsc_tpu.solvers.amg import amg_pc, dist_amg_pc
 
+        if isinstance(A, DistAIJ):
+            return dist_amg_pc(A, opts)
         return amg_pc(A, opts)
     raise ValueError(f"unknown pc_type {pc_type!r}")
 

@@ -112,6 +112,75 @@ def test_gamg_unstructured_permutation_invariant_class():
     assert rrel < 1e-7 and its <= 30
 
 
+def test_dist_gamg_serial_iterate_parity():
+    """gamg over DistAIJ on the 8-device mesh: the hierarchy is built from
+    the same global matrix, so distributed CG must take (nearly) the same
+    iterations as the serial gamg CG and reach the same answer."""
+    from saddle_point_petsc_tpu.parallel import dist_csr
+    from saddle_point_petsc_tpu.solvers.amg import dist_amg_pc
+
+    a = poisson2d(40)  # 1600 rows over 8 shards
+    mesh = dist_csr.make_mesh_1d()
+    Ad = dist_csr.dist_aij_from_scipy(a.astype(np.float64), mesh)
+    Md = dist_amg_pc(Ad, a_scipy=a, coarse_max=100)
+    rng = np.random.default_rng(7)
+    b_host = rng.standard_normal(a.shape[0])
+    bd = dist_csr.pad_vector(b_host, Ad.n_pad, mesh)
+    res_d = krylov.cg(Ad, bd, M=Md, rtol=1e-8, maxiter=100)
+    assert int(res_d.converged_reason) > 0
+    x = np.asarray(res_d.x)[: a.shape[0]]
+    rrel = float(
+        np.linalg.norm(a @ x - b_host) / np.linalg.norm(b_host)
+    )
+    assert rrel < 1e-7
+    # serial twin on the same matrix
+    M = amg_pc(
+        sp.scipy_to_csr(a.astype(np.float64)),
+        coarse_max=100,
+        dtype=jnp.float64,
+    )
+    its_s, _, _ = _solve(a, M, maxiter=100)
+    assert abs(int(res_d.iterations) - its_s) <= 3
+
+
+def test_dist_gamg_through_options():
+    """-pc_type gamg on a DistAIJ routes to the distributed hierarchy."""
+    from saddle_point_petsc_tpu.parallel import dist_csr
+    from saddle_point_petsc_tpu.solvers.amg import DistAMGPC
+
+    a = poisson2d(32)
+    mesh = dist_csr.make_mesh_1d()
+    Ad = dist_csr.dist_aij_from_scipy(a.astype(np.float64), mesh)
+    M = make_pc("gamg", Ad, Options(["-pc_gamg_coarse_eq_limit", "150"]))
+    assert isinstance(M, DistAMGPC)
+    assert len(M.levels) >= 2
+    bd = dist_csr.pad_vector(
+        np.random.default_rng(0).standard_normal(a.shape[0]),
+        Ad.n_pad,
+        mesh,
+    )
+    res = krylov.cg(Ad, bd, M=M, rtol=1e-8, maxiter=60)
+    assert int(res.converged_reason) > 0 and int(res.iterations) <= 25
+
+
+def test_dist_aij_to_scipy_roundtrip():
+    """DistAIJ.to_scipy reconstructs the exact global matrix (the AMG
+    setup input and a -A_mat_view-class utility)."""
+    from saddle_point_petsc_tpu.parallel import dist_csr
+
+    n = 30
+    rng = np.random.default_rng(5)
+    a = sps.random(
+        n, n, density=0.12, random_state=rng, format="csr"
+    ) + sps.identity(n)
+    a = a.tocsr().astype(np.float64)
+    mesh = dist_csr.make_mesh_1d()
+    Ad = dist_csr.dist_aij_from_scipy(a, mesh)
+    back = Ad.to_scipy()
+    assert back.shape == a.shape
+    assert abs(a - back).max() < 1e-12
+
+
 def test_native_aggregate_matches_numpy():
     from saddle_point_petsc_tpu.solvers.amg import (
         _aggregate_numpy,
