@@ -181,6 +181,28 @@ def test_dist_aij_to_scipy_roundtrip():
     assert abs(a - back).max() < 1e-12
 
 
+def test_gamg_as_fieldsplit_schur_inner():
+    """-fieldsplit_inner_pc_type gamg: the algebraic hierarchy as the
+    Schur A-block inner solve on the full KKT system (the PETSc
+    composition -pc_type fieldsplit -fieldsplit_0_pc_type gamg)."""
+    from saddle_point_petsc_tpu.models import saddle
+    from saddle_point_petsc_tpu.solvers.ksp import KSP
+
+    prob = saddle.assemble_saddle(
+        32, 32, dtype=jnp.float64, body_force="trig"
+    )
+    opts = Options(
+        ["-ksp_type", "minres", "-pc_type", "fieldsplit",
+         "-fieldsplit_inner_pc_type", "gamg",
+         "-ksp_rtol", "1e-8", "-ksp_max_it", "400"]
+    )
+    ksp = KSP(opts).set_operators(prob.K).set_from_options().set_up()
+    res = ksp.solve(prob.rhs)
+    assert int(res.converged_reason) > 0
+    # MG-class strength: diag-inner needs O(100) its here
+    assert int(res.iterations) <= 30
+
+
 def test_native_aggregate_matches_numpy():
     from saddle_point_petsc_tpu.solvers.amg import (
         _aggregate_numpy,
