@@ -492,6 +492,13 @@ def main():
         out.update({f"config4_{k}": v for k, v in c4.items()})
     except Exception as e:
         out["config4_error"] = repr(e)[:160]
+    # BASELINE config 3 as worded (FGMRES + inner-CG Schur) on the chip
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            c3 = run_configs.config3()
+        out.update({f"config3_{k}": v for k, v in c3.items()})
+    except Exception as e:
+        out["config3_error"] = repr(e)[:160]
     out.update(bench_scaling_subprocess())
     print(json.dumps(out))
 

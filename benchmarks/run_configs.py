@@ -124,7 +124,7 @@ def config3(dtype=None):
     run = jax.jit(solve)
     _timed(run, prob.K, prob.rhs)
     dt, res = _timed(run, prob.K, prob.rhs)
-    _report(
+    return _report(
         "3:256x256-fgmres-innercg", dt, int(res.iterations),
         float(res.rnorm / res.rnorm0), {"dtype": str(dtype.__name__)},
     )
