@@ -181,7 +181,19 @@ def bench_refined_kkt(n_nodes=257, rtol=1e-8, inner_kind="fgmres-mg"):
             return res.x, res.iterations
 
     else:
-        M = precond.schur_pc(A32, Bf_df.hi, fact_type="diag")
+        # diag-Schur MINRES with a Chebyshev(3) A-block inner: the r3
+        # shootout (256^2, chip): diag 52.7ms / cheb3[lmax/4] 45.3 /
+        # cheb3[lmax/16] 40.8 — wider windows hit the low spectrum the
+        # outer MINRES otherwise grinds on.  SPD (valid under MINRES).
+        Mj = precond.jacobi(A32)
+        tmpl = jnp.zeros((2, n_nodes, n_nodes), jnp.float32)
+        lmax = 1.1 * float(
+            precond.estimate_lmax(A32, Mj, template=tmpl)
+        )
+        cheb = precond.chebyshev_pc(
+            A32, inner=Mj, lmin=lmax / 16.0, lmax=lmax, iters=3
+        )
+        M = precond.schur_pc(A32, Bf_df.hi, cheb, fact_type="diag")
 
     b_df = (df_from_f64(f64), df_from_f64(g64))
     # inner_rtol 1e-3: tuned on the cycle/iteration tradeoff (sweep at
@@ -246,7 +258,14 @@ def bench_refined_kkt_dist(n_nodes=705, rtol=1e-8):
         planes_dd.hi, mesh, active_shape=(n_nodes, n_nodes)
     )
     Kd = dist.DistSaddleOperator(Ad, Bf_dd.hi)
-    Md = precond.schur_pc(Ad, Bf_dd.hi, fact_type="diag")
+    # same cheb3-Schur inner as the serial headline (see bench_refined_kkt)
+    Mj = precond.jacobi(Ad)
+    tmpl = jnp.zeros_like(f_dd.hi)
+    lmax = 1.1 * float(precond.estimate_lmax(Ad, Mj, template=tmpl))
+    cheb = precond.chebyshev_pc(
+        Ad, inner=Mj, lmin=lmax / 16.0, lmax=lmax, iters=3
+    )
+    Md = precond.schur_pc(Ad, Bf_dd.hi, cheb, fact_type="diag")
     run = refine.solve_refined_kkt_fused(
         Kd, (f_dd, b_df1), rtol=rtol, planes_df=planes_dd, Bf_df=Bf_dd,
         M=Md, inner_rtol=1e-3, inner_maxiter=6000,
@@ -296,9 +315,18 @@ def bench_aij_tpu(n_nodes=512, reps=50):
             )
 
         _timed(run, x, 1)
-        t1_ = min(_timed(run, x, reps) for _ in range(2))
-        t2_ = min(_timed(run, x, 2 * reps) for _ in range(2))
-        return nnz / (max(t2_ - t1_, 1e-9) / reps)
+        # escalate reps until the differenced time clears the tunnel
+        # timing noise: at 50 reps a shift-only DIA chain (~10us/matvec)
+        # is invisible under the ~ms dispatch jitter, which produced a
+        # physically impossible 6.5e16 nnz/s capture in the first r3 run
+        r = reps
+        while True:
+            t1_ = min(_timed(run, x, r) for _ in range(2))
+            t2_ = min(_timed(run, x, 2 * r) for _ in range(2))
+            if t2_ - t1_ > 0.02 or r >= 200_000:
+                break
+            r *= 8
+        return nnz / (max(t2_ - t1_, 1e-9) / r)
 
     out = {"aij_tpu_rows": a.shape[0], "aij_tpu_nnz": int(nnz)}
     ell = sp.csr_to_ell(csr)
