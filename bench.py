@@ -258,14 +258,12 @@ def bench_refined_kkt_dist(n_nodes=705, rtol=1e-8):
         planes_dd.hi, mesh, active_shape=(n_nodes, n_nodes)
     )
     Kd = dist.DistSaddleOperator(Ad, Bf_dd.hi)
-    # same cheb3-Schur inner as the serial headline (see bench_refined_kkt)
-    Mj = precond.jacobi(Ad)
-    tmpl = jnp.zeros_like(f_dd.hi)
-    lmax = 1.1 * float(precond.estimate_lmax(Ad, Mj, template=tmpl))
-    cheb = precond.chebyshev_pc(
-        Ad, inner=Mj, lmin=lmax / 16.0, lmax=lmax, iters=3
-    )
-    Md = precond.schur_pc(Ad, Bf_dd.hi, cheb, fact_type="diag")
+    # diag-Schur here, NOT the serial headline's cheb3 inner: at ~1M rows
+    # the matvec is compute-bound and cheb3's 4x matvecs/iteration beat
+    # its 3x iteration reduction (measured r3: 2.06 s cheb3 vs 0.81 s
+    # diag).  The cheb3 win at 256^2 comes from per-iteration fixed
+    # costs, which vanish at this size.
+    Md = precond.schur_pc(Ad, Bf_dd.hi, fact_type="diag")
     run = refine.solve_refined_kkt_fused(
         Kd, (f_dd, b_df1), rtol=rtol, planes_df=planes_dd, Bf_df=Bf_dd,
         M=Md, inner_rtol=1e-3, inner_maxiter=6000,
