@@ -16,13 +16,21 @@ Split TPU-first:
   damped-Jacobi step (Vanek/Mandel/Brezina smoothed aggregation), Galerkin
   triple products in scipy.  Per-level spectral bounds for the smoother are
   also estimated here, so the device apply is reduction-free.
-- **Apply is one jitted device program**: every level stores A, P and
-  R = P^T as ELL (fixed entries/row: SpMV = dense gather + row-reduction,
-  no indirect accumulation — the TPU-friendly general-sparse layout, see
-  ops/sparse.py), smoothed with fixed-coefficient Chebyshev over the
-  Jacobi-scaled operator (inner-product-free: zero psums), and the
-  coarsest level is applied as a dense MXU matmul with a host-factorized
-  inverse.
+- **Apply is one jitted device program**, built around what TPUs are fast
+  at (measured on v5e, 262k-row 5-point operator: DIA 113 Gnnz/s vs ELL
+  gathers 0.13 Gnnz/s):
+    * each level's operator is stored as DIA (shift-only SpMV, zero
+      gathers) whenever its band structure allows, ELL otherwise;
+    * the transfer operators are never materialized: P = (I - w D^-1 A)P0
+      with P0 piecewise-constant, so prolongation is a 1-gather-per-node
+      `x_c[agg]` plus one level matvec, and restriction (A symmetric) is
+      P^T r = P0^T (r - w A D^-1 r) — one level matvec plus a
+      segment-sum.  The hierarchy math is IDENTICAL to stored-P SA-AMG;
+      only the application is factored;
+    * smoothers are fixed-coefficient Chebyshev over the Jacobi-scaled
+      operator (inner-product-free: zero psums);
+    * the coarsest level is a dense MXU matmul with a host-factorized
+      inverse.
 
 The V-cycle uses R = P^T and the same symmetric Chebyshev smoother pre and
 post, so the PC is symmetric positive definite for SPD A — valid under
@@ -63,16 +71,38 @@ jax.tree_util.register_pytree_node(
 
 @dataclasses.dataclass(frozen=True)
 class AMGLevel:
-    A: _EllOp
-    P: sp.ELL  # prolongation (n_f x n_c)
-    R: sp.ELL  # restriction = P^T (n_c x n_f)
+    """One SA-AMG level with factored transfer operators.
+
+    agg[i] = aggregate (coarse node) of fine node i; s[i] = the tentative
+    prolongator's column normalization 1/sqrt(|aggregate|); dinv = level
+    Jacobi inverse diagonal; omega = prolongator smoothing weight
+    (4/3 / rho(D^-1 A), estimated at setup)."""
+
+    A: Any  # DIA or _EllOp (callable operator)
+    agg: Any  # (n_f,) int32
+    s: Any  # (n_f,)
+    dinv: Any  # (n_f,)
     smoother: Any  # ChebyshevPC (symmetric)
+    omega: float  # static
+    n_c: int  # static
+
+    def prolong(self, xc):
+        """P xc = (I - omega D^-1 A) (s * xc[agg])."""
+        t = self.s * xc[self.agg]
+        return t - self.omega * (self.dinv * self.A(t))
+
+    def restrict(self, r):
+        """P^T r = P0^T (r - omega A D^-1 r)   (A symmetric)."""
+        u = r - self.omega * self.A(self.dinv * r)
+        return jax.ops.segment_sum(
+            self.s * u, self.agg, num_segments=self.n_c
+        )
 
 
 jax.tree_util.register_pytree_node(
     AMGLevel,
-    lambda l: ((l.A, l.P, l.R, l.smoother), None),
-    lambda m, d: AMGLevel(*d),
+    lambda l: ((l.A, l.agg, l.s, l.dinv, l.smoother), (l.omega, l.n_c)),
+    lambda m, d: AMGLevel(*d, *m),
 )
 
 
@@ -105,8 +135,8 @@ class AMGPC:
             return self.coarse_inv @ r
         lvl = self.levels[k]
         z = lvl.smoother(r)  # pre-smooth from zero initial guess
-        rc = sp.ell_matvec(lvl.R, r - lvl.A(z))
-        z = z + sp.ell_matvec(lvl.P, self._vcycle(k + 1, rc))
+        rc = lvl.restrict(r - lvl.A(z))
+        z = z + lvl.prolong(self._vcycle(k + 1, rc))
         return z + lvl.smoother(r - lvl.A(z))  # post-smooth
 
 
@@ -250,6 +280,30 @@ def _scipy_to_ell(Asp, dtype):
     )
 
 
+def _scipy_to_level_op(Asp, dtype, max_diag_blowup=4.0, max_diags=512):
+    """Pick the fastest device layout for a level operator.
+
+    DIA (shift-only SpMV: no gathers — the layout TPUs want; 113 vs 0.13
+    Gnnz/s against ELL on v5e) whenever the distinct-offset count keeps
+    the padded storage within `max_diag_blowup` x nnz; ELL otherwise."""
+    coo = Asp.tocoo()
+    offs = np.unique(coo.col - coo.row)
+    n = Asp.shape[0]
+    if (
+        len(offs) <= max_diags
+        and len(offs) * n <= max_diag_blowup * max(Asp.nnz, 1)
+    ):
+        data = np.zeros((len(offs), n), np.float64)
+        d_idx = np.searchsorted(offs, coo.col - coo.row)
+        data[d_idx, coo.row] = coo.data
+        return sp.DIA(
+            jnp.asarray(data, dtype),
+            tuple(int(o) for o in offs),
+            tuple(Asp.shape),
+        )
+    return _EllOp(_scipy_to_ell(Asp, dtype))
+
+
 def amg_pc(
     A,
     opts=None,
@@ -293,26 +347,24 @@ def amg_pc(
         # tentative piecewise-constant prolongator, columns normalized
         # (near-nullspace = constants; correct for the scalar Poisson class)
         sizes = np.bincount(agg, minlength=na).astype(np.float64)
+        svec = 1.0 / np.sqrt(sizes[agg])
         P0 = sps.csr_matrix(
-            (
-                1.0 / np.sqrt(sizes[agg]),
-                (np.arange(n), agg),
-            ),
-            shape=(n, na),
+            (svec, (np.arange(n), agg)), shape=(n, na)
         )
         # smooth: P = (I - omega D^-1 A) P0,  omega = (4/3) / rho(D^-1 A)
         rho = _rho_dinv_a(Asp)
+        omega = 4.0 / (3.0 * rho)
         d = Asp.diagonal()
         d = np.where(d == 0.0, 1.0, d)
         Dinv = sps.diags(1.0 / d)
-        P = (P0 - (4.0 / (3.0 * rho)) * (Dinv @ (Asp @ P0))).tocsr()
+        P = (P0 - omega * (Dinv @ (Asp @ P0))).tocsr()
         Ac = (P.T @ Asp @ P).tocsr()
         Ac.eliminate_zeros()
         # level smoother: Chebyshev(jacobi) on [rho/4, 1.1*rho]
-        A_ell = _EllOp(_scipy_to_ell(Asp, dtype))
+        A_op = _scipy_to_level_op(Asp, dtype)
         inv_diag = jnp.asarray(1.0 / d, dtype)
         sm = precond.ChebyshevPC(
-            A_ell,
+            A_op,
             precond.JacobiPC(inv_diag),
             lmin=rho / 4.0,
             lmax=1.1 * rho,
@@ -320,10 +372,13 @@ def amg_pc(
         )
         levels.append(
             AMGLevel(
-                A_ell,
-                _scipy_to_ell(P, dtype),
-                _scipy_to_ell(P.T.tocsr(), dtype),
+                A_op,
+                jnp.asarray(agg.astype(np.int32)),
+                jnp.asarray(svec, dtype),
+                inv_diag,
                 sm,
+                float(omega),
+                int(na),
             )
         )
         Asp = Ac
