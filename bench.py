@@ -421,7 +421,11 @@ def _install_deadline(seconds):
 
 
 def main():
-    _install_deadline(int(os.environ.get("BENCH_DEADLINE_S", "3000")))
+    # watchdog headroom: the r3 full run measured ~2500 s (SpMV x2 at
+    # 1024^2, both refined-KKT kinds, dist 1e-8, TPU sparse formats,
+    # configs 3+4, CPU scaling subprocess); 3600 covers it with margin
+    # while still converting a wedged tunnel fetch into a partial JSON.
+    _install_deadline(int(os.environ.get("BENCH_DEADLINE_S", "3600")))
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     # NOTE: do NOT enable the persistent compile cache here — on the
