@@ -61,6 +61,15 @@ def make_pc(pc_type: str, A, opts: Optional[Options] = None, ksp_type=None):
                 f"pc_type {pc_type!r} unsupported for the KKT block system;"
                 " use -pc_type fieldsplit (schur)"
             )
+        # -pc_fieldsplit_type on the KKT block system: only schur applies
+        # (the (lam, lam) block is zero, so additive/multiplicative have
+        # no invertible split) — read and validate rather than imply.
+        fs_type = opts.get_str("pc_fieldsplit_type", "schur")
+        if fs_type != "schur":
+            raise ValueError(
+                f"-pc_fieldsplit_type {fs_type!r} unsupported for the KKT"
+                " block system (zero (1,1) block); use schur"
+            )
         default_fact = "diag" if ksp_type in ("minres", "cg") else "full"
         fact = opts.get_str("pc_fieldsplit_schur_fact_type", default_fact)
         inner_type = opts.get_str("fieldsplit_inner_ksp_type", "none")
