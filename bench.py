@@ -397,6 +397,78 @@ def bench_scaling_subprocess(n_nodes=1024, reps=10, timeout=1800):
 
 _PARTIAL = {}  # filled as sections complete; dumped if the deadline fires
 
+# The driver records only the LAST 2000 bytes of stdout and json-parses
+# them; r3's bench line grew past that window and the headline keys were
+# lost (BENCH_r03.json parsed:null — VERDICT r3 weak #1).  The printed
+# line is therefore a compacted selection (floats rounded to 4 significant
+# digits, diagnostics first, headline keys LAST so any truncation eats
+# detail, not the north star); the COMPLETE un-rounded dict is written to
+# benchmarks/BENCH_FULL.json alongside.
+_KEY_ORDER = (
+    "device", "grid", "nnz", "roofline_nnz_per_s",
+    "spmv_xla_nnz_per_s", "spmv_pallas_nnz_per_s", "spmv_ms",
+    "kkt_solve_s", "kkt_iterations", "kkt_rel_rnorm",
+    "kkt_rtol1e8_minres_s", "kkt_rtol1e8_fgmresmg_s",
+    "kkt_rtol1e8_cycles", "kkt_rtol1e8_inner_its",
+    "kkt_rtol1e8_inner_kind", "kkt_rtol1e8_rel_rnorm",
+    "kkt_rtol1e8_dist_rows", "kkt_rtol1e8_dist_cycles",
+    "kkt_rtol1e8_dist_rel_rnorm", "kkt_rtol1e8_dist_s",
+    "aij_tpu_rows", "aij_tpu_ell_nnz_per_s", "aij_tpu_csr_nnz_per_s",
+    "aij_tpu_bsr_nnz_per_s", "aij_tpu_dia_nnz_per_s",
+    "aij_tpu_dia_pallas_nnz_per_s", "aij_tpu_distaij_nnz_per_s",
+    "aij_tpu_distaij_dia_nnz_per_s", "aij_tpu_best_format",
+    "aij_tpu_nnz_per_s",
+    "config3_seconds", "config3_iterations", "config3_rel_rnorm",
+    "config3_rtol1e8_s", "config3_rtol1e8_rel_rnorm",
+    "config4_seconds", "config4_iterations", "config4_rel_rnorm",
+    "config4_rows",
+    "config5_rows", "config5_cycles", "config5_rel_rnorm",
+    "config5_nnz_per_s", "config5_s",
+    "scaling_devices", "scaling_eff_median", "scaling_eff_min",
+    "scaling_eff_max", "scaling_halo_exchange_ms",
+    "bench_deadline_hit_s",
+    # headline (the driver's north-star keys) — keep LAST
+    "metric", "unit", "value", "vs_baseline", "kkt_rtol1e8_s",
+)
+_HEADLINE = {"metric", "unit", "value", "vs_baseline", "kkt_rtol1e8_s"}
+
+
+def _sig4(x):
+    if isinstance(x, float):
+        if not np.isfinite(x):
+            return None  # strict-JSON safe (NaN = invalid reading)
+        if x != 0.0:
+            import math
+
+            return round(x, -int(math.floor(math.log10(abs(x)))) + 3)
+    return x
+
+
+def _emit(out, limit=1900):
+    """Write the full dict to benchmarks/BENCH_FULL.json and print the one
+    compact JSON line (< `limit` bytes) for the driver."""
+    import pathlib
+
+    try:
+        path = pathlib.Path(__file__).parent / "benchmarks" / "BENCH_FULL.json"
+        path.write_text(json.dumps(out, indent=1, default=str) + "\n")
+    except Exception:
+        pass
+    errs = sorted(
+        k[: -len("_error")] for k in out if k.endswith("_error")
+    )
+    compact = {k: _sig4(out[k]) for k in _KEY_ORDER if k in out}
+    if errs:
+        compact = {"errors": ",".join(errs), **compact}
+    line = json.dumps(compact)
+    droppable = [
+        k for k in compact if k not in _HEADLINE and k != "errors"
+    ]
+    while len(line) > limit and droppable:
+        compact.pop(droppable.pop(0))
+        line = json.dumps(compact)
+    print(line, flush=True)
+
 
 def _install_deadline(seconds):
     """Tunneled-TPU watchdog: if any device fetch wedges (the axon tunnel
@@ -410,7 +482,7 @@ def _install_deadline(seconds):
         _PARTIAL.setdefault("unit", "nnz/s")
         _PARTIAL.setdefault("vs_baseline", 0.0)
         _PARTIAL["bench_deadline_hit_s"] = seconds
-        print(json.dumps(_PARTIAL), flush=True)
+        _emit(_PARTIAL)
         os._exit(0)
 
     try:
@@ -530,7 +602,7 @@ def main():
     except Exception as e:
         out["config3_error"] = repr(e)[:160]
     out.update(bench_scaling_subprocess())
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":
