@@ -108,7 +108,10 @@ jax.tree_util.register_pytree_node(
 
 @dataclasses.dataclass(frozen=True)
 class AMGPC:
-    """Smoothed-aggregation AMG V-cycle as a (symmetric, linear) PC."""
+    """Smoothed-aggregation AMG cycle as a (symmetric, linear) PC.
+
+    `cycles` follows PETSc PCMGSetCycleType semantics (-pc_mg_cycles):
+    1 = V-cycle, 2 = W-cycle (each coarse correction recursed twice)."""
 
     levels: Tuple[AMGLevel, ...]
     coarse_inv: Any  # dense inverse of the coarsest Galerkin operator
@@ -121,9 +124,9 @@ class AMGPC:
             from saddle_point_petsc_tpu.ops.stencil import field_to_flat
 
             r = field_to_flat(r)
-        z = jnp.zeros_like(r)
-        for _ in range(self.cycles):
-            z = z + self._vcycle(0, r - self.levels[0].A(z))
+        # empty hierarchy (input already <= coarse_max rows): the coarse
+        # solve is exact, apply it directly (ADVICE r3, medium)
+        z = self._vcycle(0, r) if self.levels else self.coarse_inv @ r
         if field:
             from saddle_point_petsc_tpu.ops.stencil import flat_to_field
 
@@ -136,7 +139,14 @@ class AMGPC:
         lvl = self.levels[k]
         z = lvl.smoother(r)  # pre-smooth from zero initial guess
         rc = lvl.restrict(r - lvl.A(z))
-        z = z + lvl.prolong(self._vcycle(k + 1, rc))
+        zc = self._vcycle(k + 1, rc)
+        if self.cycles >= 2 and k + 1 < len(self.levels):
+            # W-cycle: second recursion on the updated coarse residual
+            # (skipped at the coarsest level, whose solve is exact)
+            zc = zc + self._vcycle(
+                k + 1, rc - self.levels[k + 1].A(zc)
+            )
+        z = z + lvl.prolong(zc)
         return z + lvl.smoother(r - lvl.A(z))  # post-smooth
 
 
@@ -151,6 +161,34 @@ jax.tree_util.register_pytree_node(
 # Host-side setup
 # ---------------------------------------------------------------------------
 
+# PETSc's coarse-equation limits are O(50-2500); a dense f64 inverse at
+# the old 32768 cap would be 8.6 GB on host (ADVICE r3, low)
+_COARSE_HARD_CAP = 4096
+
+
+def _coarse_inv_np(Asp):
+    """Dense inverse of the coarsest Galerkin operator, with a
+    singularity guard: a (near-)singular coarsest level (e.g. the
+    pure-Neumann Poisson whose near-nullspace PETSc's GAMG carries
+    explicitly) falls back to the Moore-Penrose pseudoinverse instead of
+    silently inverting to garbage (ADVICE r3, low)."""
+    if Asp.shape[0] > _COARSE_HARD_CAP:
+        raise ValueError(
+            f"gamg: coarsest level still has {Asp.shape[0]} rows "
+            f"(dense-solve cap {_COARSE_HARD_CAP}); raise -pc_mg_levels "
+            "or lower -pc_gamg_coarse_eq_limit"
+        )
+    dense = np.asarray(Asp.toarray(), np.float64)
+    try:
+        inv = np.linalg.inv(dense)
+        # 1-norm condition estimate from the factors already in hand
+        cond = np.linalg.norm(dense, 1) * np.linalg.norm(inv, 1)
+        if not np.isfinite(cond) or cond > 1e12:
+            raise np.linalg.LinAlgError("ill-conditioned coarse operator")
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(dense, rcond=1e-10)
+    return inv
+
 
 def _to_scipy(A):
     import scipy.sparse as sps
@@ -158,10 +196,21 @@ def _to_scipy(A):
     if isinstance(A, sp.CSR):
         return sp.csr_to_scipy(A).tocsr()
     if isinstance(A, sp.DIA):
-        # round-trip through dense is wasteful; build from the bands
+        # the repo's DIA is ROW-indexed (data[d,i] = A[i, i+off],
+        # sparse.py DIA docstring) while scipy's dia_matrix is
+        # COLUMN-indexed (data[d,j] = A[j-off, j]); shift each band
+        # accordingly (the inverse of the csr_to_dia conversion) —
+        # passing the arrays through unshifted silently displaced every
+        # off-diagonal band by its offset (ADVICE r3, high)
         m, n = A.shape
         data = np.asarray(A.data, np.float64)
-        return sps.dia_matrix((data, A.offsets), shape=(m, n)).tocsr()
+        sdata = np.zeros_like(data)
+        for k, off in enumerate(A.offsets):
+            if off >= 0:
+                sdata[k, off:] = data[k, : n - off] if off else data[k]
+            else:
+                sdata[k, : n + off] = data[k, -off:]
+        return sps.dia_matrix((sdata, A.offsets), shape=(m, n)).tocsr()
     if sps.issparse(A):
         return A.tocsr()
     from saddle_point_petsc_tpu.ops.stencil import (
@@ -317,7 +366,8 @@ def amg_pc(
     """Build the smoothed-aggregation hierarchy (host) and the device PC.
 
     Options (PETSc PCGAMG-style names): -pc_gamg_threshold <theta>,
-    -pc_gamg_coarse_eq_limit <n>, -pc_mg_levels <n>, -pc_mg_cycles <n>,
+    -pc_gamg_coarse_eq_limit <n>, -pc_mg_levels <n>, -pc_mg_cycles <1|2>
+    (PCMGSetCycleType semantics: 1 = V-cycle, 2 = W-cycle),
     -pc_gamg_smooth_its <k> (Chebyshev degree of the level smoother).
     """
     import scipy.sparse as sps
@@ -382,14 +432,7 @@ def amg_pc(
             )
         )
         Asp = Ac
-    if Asp.shape[0] > 32768:
-        raise ValueError(
-            f"gamg: coarsest level still has {Asp.shape[0]} rows; "
-            "raise -pc_mg_levels or -pc_gamg_coarse_eq_limit"
-        )
-    coarse_inv = jnp.asarray(
-        np.linalg.inv(Asp.toarray() + 0.0), dtype
-    )
+    coarse_inv = jnp.asarray(_coarse_inv_np(Asp), dtype)
     from saddle_point_petsc_tpu.ops.stencil import StencilOperator
 
     field_shape = (
@@ -433,13 +476,13 @@ class DistAMGPC:
 
     levels: Tuple[DistAMGLevel, ...]
     coarse_inv: Any  # dense (n_pad_last, n_pad_last), pad rows identity
-    cycles: int = 1
+    cycles: int = 1  # PETSc PCMGSetCycleType: 1 = V, 2 = W
 
     def __call__(self, r):
-        z = jnp.zeros_like(r)
-        for _ in range(self.cycles):
-            z = z + self._vcycle(0, r - self.levels[0].A.matvec(z))
-        return z
+        # empty hierarchy: exact coarse solve (ADVICE r3, medium)
+        return (
+            self._vcycle(0, r) if self.levels else self.coarse_inv @ r
+        )
 
     def _vcycle(self, k, r):
         if k == len(self.levels):
@@ -448,6 +491,10 @@ class DistAMGPC:
         z = lvl.smoother(r)
         rc = lvl.R.matvec(r - lvl.A.matvec(z))[: lvl.n_pad_c]
         zc = self._vcycle(k + 1, rc)
+        if self.cycles >= 2 and k + 1 < len(self.levels):
+            zc = zc + self._vcycle(
+                k + 1, rc - self.levels[k + 1].A.matvec(zc)
+            )
         z = z + lvl.P.matvec(
             jnp.pad(zc, (0, r.shape[0] - lvl.n_pad_c))
         )
@@ -553,14 +600,9 @@ def dist_amg_pc(
         )
         cur_dev, cur_sp = next_dev, Ac
     n_c = cur_sp.shape[0]
-    if n_c > 32768:
-        raise ValueError(
-            f"gamg: coarsest level still has {n_c} rows; raise "
-            "-pc_mg_levels or -pc_gamg_coarse_eq_limit"
-        )
     n_pad_last = cur_dev.n_pad
     dense = np.eye(n_pad_last)
-    dense[:n_c, :n_c] = np.linalg.inv(cur_sp.toarray())
+    dense[:n_c, :n_c] = _coarse_inv_np(cur_sp)
     return DistAMGPC(
         tuple(levels), jnp.asarray(dense, np_dtype), cycles
     )
