@@ -605,3 +605,143 @@ def dia_matvec(dia: DIA, x):
         else:
             y = y.at[-off:].add(dia.data[k, -off:] * x[: n + off])
     return y
+
+
+# ---------------------------------------------------------------------------
+# Block-DIA: BSR blocks stored by block-diagonal — the TPU-native fast
+# path for banded block matrices (dof-interleaved FEM operators).  The
+# gather-based bsr_matvec measured 0.015 Gnnz/s on v5e vs 110+ for
+# shift-only layouts; BDIA keeps the 2x2 block semantics (MATBAIJ class,
+# BASELINE config 3 "BSR blocks") while the matvec is per-block-offset
+# shifted einsums with zero gathers.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BDIA:
+    """Block-diagonal storage: data[k, i] = block A[i, i + offsets[k]]
+    (block indices, row-indexed like DIA).
+
+    data: (nblockdiag, mb, b, b); offsets: static tuple of BLOCK offsets;
+    shape: scalar (m, n) with m = mb * b.
+    """
+
+    data: Any  # (ndiag, mb, b, b)
+    offsets: tuple  # static block offsets
+    shape: tuple  # scalar shape
+    block: int = 2
+
+    @property
+    def nnz(self):
+        return self.data.size
+
+    def todense(self):
+        m, n = self.shape
+        b = self.block
+        mb = m // b
+        out = jnp.zeros((mb, n // b, b, b), self.data.dtype)
+        i = jnp.arange(mb)
+        for k, off in enumerate(self.offsets):
+            valid = (i + off >= 0) & (i + off < n // b)
+            out = out.at[i, jnp.clip(i + off, 0, n // b - 1)].add(
+                jnp.where(valid[:, None, None], self.data[k], 0.0)
+            )
+        return out.transpose(0, 2, 1, 3).reshape(m, n)
+
+    def matvec(self, x):
+        return bdia_matvec(self, x)
+
+    def matmat(self, X):
+        return bdia_matmat(self, X)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self):
+        b = self.block
+        if 0 in self.offsets:
+            blk = self.data[self.offsets.index(0)]  # (mb, b, b)
+            return jnp.einsum("icc->ic", blk).reshape(-1)
+        return jnp.zeros((self.shape[0],), self.data.dtype)
+
+
+_pytree_dataclass(BDIA, ("data",), ("offsets", "shape", "block"))
+
+
+def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
+    """Host-side BSR -> block-DIA (setup time).  Raises ValueError when
+    the block-band structure would blow storage past `max_diag_blowup` x
+    the block nnz (RCM-reorder first for irregular patterns)."""
+    indptr = np.asarray(bsr.indptr)
+    cols = np.asarray(bsr.cols)
+    vals = np.asarray(bsr.vals)
+    mb = bsr.shape[0] // bsr.block
+    rows = np.repeat(np.arange(mb), np.diff(indptr))
+    live = cols[: len(rows)] >= 0
+    r, c, v = rows[live], cols[: len(rows)][live], vals[: len(rows)][live]
+    offs = np.unique(c.astype(np.int64) - r)
+    if len(offs) > max_diags or len(offs) * mb > max_diag_blowup * max(
+        len(r), 1
+    ):
+        raise ValueError(
+            f"bsr_to_bdia: {len(offs)} block bands x {mb} block rows "
+            f"exceeds {max_diag_blowup}x the block nnz ({len(r)})"
+        )
+    b = bsr.block
+    data = np.zeros((len(offs), mb, b, b), vals.dtype)
+    d_idx = np.searchsorted(offs, c.astype(np.int64) - r)
+    data[d_idx, r] = v
+    return BDIA(
+        jnp.asarray(data),
+        tuple(int(o) for o in offs),
+        bsr.shape,
+        b,
+    )
+
+
+def bdia_matvec(bdia: BDIA, x):
+    """y = A @ x: per-block-offset shifted einsums (no gathers)."""
+    b = bdia.block
+    mb = bdia.shape[0] // b
+    xb = x.reshape(mb, b)
+    y = jnp.zeros_like(xb)
+    for k, off in enumerate(bdia.offsets):
+        if off == 0:
+            y = y + jnp.einsum("icd,id->ic", bdia.data[k], xb)
+        elif off > 0:
+            y = y.at[: mb - off].add(
+                jnp.einsum(
+                    "icd,id->ic", bdia.data[k, : mb - off], xb[off:]
+                )
+            )
+        else:
+            y = y.at[-off:].add(
+                jnp.einsum(
+                    "icd,id->ic", bdia.data[k, -off:], xb[: mb + off]
+                )
+            )
+    return y.reshape(-1)
+
+
+def bdia_matmat(bdia: BDIA, X):
+    """Y = A @ X for dense X (n, k): shifted block einsums on the MXU."""
+    b = bdia.block
+    mb = bdia.shape[0] // b
+    Xb = X.reshape(mb, b, X.shape[1])
+    Y = jnp.zeros_like(Xb)
+    for k, off in enumerate(bdia.offsets):
+        if off == 0:
+            Y = Y + jnp.einsum("icd,idk->ick", bdia.data[k], Xb)
+        elif off > 0:
+            Y = Y.at[: mb - off].add(
+                jnp.einsum(
+                    "icd,idk->ick", bdia.data[k, : mb - off], Xb[off:]
+                )
+            )
+        else:
+            Y = Y.at[-off:].add(
+                jnp.einsum(
+                    "icd,idk->ick", bdia.data[k, -off:], Xb[: mb + off]
+                )
+            )
+    return Y.reshape(bdia.shape[0], -1)

@@ -127,3 +127,51 @@ def test_formats_under_jit(rng):
     x = jnp.asarray(rng.standard_normal(12))
     f = jax.jit(lambda A, v: A.matvec(v))
     np.testing.assert_allclose(np.asarray(f(csr, x)), a @ np.asarray(x), atol=1e-12)
+
+
+def test_bdia_matches_bsr_and_scipy(rng):
+    """Block-DIA (BSR blocks stored by block-diagonal, shift-only matvec
+    — the TPU fast path for banded block matrices) is exact vs the
+    gather BSR path and scipy."""
+    n1 = 12
+    ix = sp.identity(n1)
+    t1 = sp.diags([-1.0, 4.0, -1.0], [-1, 0, 1], (n1, n1))
+    blk = np.array([[2.0, 0.3], [0.5, 1.0]])  # non-symmetric blocks
+    a2 = sp.kron((sp.kron(ix, t1) + sp.kron(t1, ix)), blk).tocsr()
+    bsr = sparse.csr_to_bsr(sparse.scipy_to_csr(a2), block=2)
+    bdia = sparse.bsr_to_bdia(bsr)
+    assert 0 in bdia.offsets and len(bdia.offsets) <= 5
+    x = rng.standard_normal(a2.shape[0])
+    y_b = np.asarray(sparse.bsr_matvec(bsr, jnp.asarray(x)))
+    y_d = np.asarray(sparse.bdia_matvec(bdia, jnp.asarray(x)))
+    np.testing.assert_allclose(y_d, a2 @ x, atol=1e-12)
+    np.testing.assert_allclose(y_d, y_b, atol=1e-12)
+    X = rng.standard_normal((a2.shape[0], 4))
+    np.testing.assert_allclose(
+        np.asarray(sparse.bdia_matmat(bdia, jnp.asarray(X))),
+        a2 @ X,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bdia.todense()), a2.toarray(), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(bdia.diagonal()), a2.diagonal(), atol=1e-14
+    )
+    # pytree: traced through jit
+    f = jax.jit(lambda A, v: A.matvec(v))
+    np.testing.assert_allclose(
+        np.asarray(f(bdia, jnp.asarray(x))), a2 @ x, atol=1e-12
+    )
+
+
+def test_bdia_irregular_raises(rng):
+    """Scattered block pattern exceeds the storage threshold."""
+    import pytest as _pytest
+
+    a = sp.random(40, 40, density=0.03, random_state=7, format="csr")
+    a = a + sp.eye(40)
+    a2 = sp.kron(a, np.eye(2)).tocsr()
+    bsr = sparse.csr_to_bsr(sparse.scipy_to_csr(a2), block=2)
+    with _pytest.raises(ValueError):
+        sparse.bsr_to_bdia(bsr, max_diag_blowup=0.2)
