@@ -124,6 +124,10 @@ class DistAIJ:
     # instead of ELL gathers — see dist_aij_to_dia.
     dia_data: Any = None  # (ndiag, n_pad), sharded P(None, SHARD)
     dia_offsets: tuple = ()  # static
+    # Rectangular support (MatCreateAIJ with m != n — e.g. AMG transfer
+    # operators): rows partitioned to n_pad, columns to n_pad_c.  None =
+    # square (n_pad_c == n_pad), the common operator case.
+    n_pad_col: Any = None  # int | None (static)
 
     @property
     def ndev(self):
@@ -132,6 +136,14 @@ class DistAIJ:
     @property
     def n_loc(self):
         return self.n_pad // self.ndev
+
+    @property
+    def n_pad_c(self):
+        return self.n_pad if self.n_pad_col is None else self.n_pad_col
+
+    @property
+    def n_loc_c(self):
+        return self.n_pad_c // self.ndev
 
     @property
     def max_send(self):
@@ -293,6 +305,8 @@ class DistAIJ:
     def diagonal(self):
         """diag(A): the diag-block entry whose local col == local row.
         Pure elementwise on the sharded arrays (no comm)."""
+        if self.n_pad_col is not None:
+            raise ValueError("diagonal(): square operators only")
         rloc = (jnp.arange(self.n_pad, dtype=jnp.int32) % self.n_loc)[:, None]
         isdiag = self.diag_cols == rloc
         return jnp.sum(jnp.where(isdiag, self.diag_vals, 0.0), axis=1)
@@ -311,17 +325,17 @@ class DistAIJ:
         oc = np.asarray(jax.device_get(self.off_cols))
         ov = np.asarray(jax.device_get(self.off_vals))
         sidx = np.asarray(jax.device_get(self.send_idx))
-        ndev, n_loc = self.ndev, self.n_loc
+        ndev, n_loc, n_loc_c = self.ndev, self.n_loc, self.n_loc_c
         rows, cols, vals = [], [], []
         for d in range(ndev):
             sl = slice(d * n_loc, (d + 1) * n_loc)
             c, v = dc[sl], dv[sl]
             ri, ki = np.nonzero(c >= 0)
             rows.append(ri + d * n_loc)
-            cols.append(c[ri, ki].astype(np.int64) + d * n_loc)
+            cols.append(c[ri, ki].astype(np.int64) + d * n_loc_c)
             vals.append(v[ri, ki])
             gcols = (
-                np.arange(ndev, dtype=np.int64)[:, None] * n_loc
+                np.arange(ndev, dtype=np.int64)[:, None] * n_loc_c
                 + sidx[:, d, :]
             ).reshape(-1)
             c, v = oc[sl], ov[sl]
@@ -335,7 +349,7 @@ class DistAIJ:
                 np.concatenate(vals),
                 (np.concatenate(rows), np.concatenate(cols)),
             ),
-            shape=(self.n_pad, self.n_pad),
+            shape=(self.n_pad, self.n_pad_c),
         ).tocsr()
         return a[:m, :n]
 
@@ -357,10 +371,11 @@ jax.tree_util.register_pytree_node(
             o.diag_cols, o.diag_vals, o.off_cols, o.off_vals,
             o.send_idx, o.dia_data,
         ),
-        (o.shape, o.n_pad, o.mesh, o.dia_offsets),
+        (o.shape, o.n_pad, o.mesh, o.dia_offsets, o.n_pad_col),
     ),
     lambda m, d: DistAIJ(
-        *d[:5], m[0], m[1], m[2], dia_data=d[5], dia_offsets=m[3]
+        *d[:5], m[0], m[1], m[2],
+        dia_data=d[5], dia_offsets=m[3], n_pad_col=m[4],
     ),
 )
 
@@ -386,6 +401,8 @@ def dist_aij_to_dia(
     """
     if A.dia_data is not None:
         return A
+    if A.n_pad_col is not None:
+        raise ValueError("dist_aij_to_dia: square operators only")
     dc = np.asarray(jax.device_get(A.diag_cols))
     dv = np.asarray(jax.device_get(A.diag_vals))
     ndev, n_loc, n_pad = A.ndev, A.n_loc, A.n_pad
@@ -469,25 +486,30 @@ def dist_aij_from_scipy(a, mesh: Mesh, dtype=None, dia="auto"):
     a.sum_duplicates()
     a.sort_indices()
     m, n = a.shape
-    assert m == n, "square systems only (padded identity rows)"
     ndev = int(mesh.devices.size)
     n_loc = -(-m // ndev)
     n_pad = n_loc * ndev
+    n_loc_c = -(-n // ndev)
+    n_pad_c = n_loc_c * ndev
+    square = m == n
     dtype = np.dtype(dtype or a.dtype)
 
-    # entry arrays, with identity padding rows appended (CSR row-major)
+    # entry arrays (CSR row-major); square systems append identity
+    # padding rows (harmless to Krylov with zero rhs entries), while a
+    # rectangular operator (m != n, e.g. an AMG transfer) pads with
+    # EMPTY rows — its padded output entries are exact zeros
     nnz = a.indptr[-1]
     rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(a.indptr))
     cols = a.indices.astype(np.int64)
     vals = a.data.astype(dtype)
-    if n_pad > m:
+    if square and n_pad > m:
         pad_r = np.arange(m, n_pad, dtype=np.int64)
         rows = np.concatenate([rows, pad_r])
         cols = np.concatenate([cols, pad_r])
         vals = np.concatenate([vals, np.ones(n_pad - m, dtype)])
 
     owner_row = rows // n_loc
-    owner_col = cols // n_loc
+    owner_col = cols // n_loc_c
     isdiag = owner_col == owner_row
 
     # ---- diag block: LOCAL column ids ----
@@ -496,18 +518,18 @@ def dist_aij_from_scipy(a, mesh: Mesh, dtype=None, dia="auto"):
     if len(dr):
         kd = max(1, int(np.bincount(dr, minlength=n_pad).max()))
     diag_cols, diag_vals = _ell_pack(
-        dr, (dcg % n_loc).astype(np.int32), dvv, n_pad, kd, dtype
+        dr, (dcg % n_loc_c).astype(np.int32), dvv, n_pad, kd, dtype
     )
 
     # ---- ghost plan: unique (dest, col) needs, grouped by (src, dest) ----
     off = ~isdiag
     orow, ocol, oval = rows[off], cols[off], vals[off]
     if len(orow):
-        comb = owner_row[off] * n_pad + ocol  # radix (dest, col)
+        comb = owner_row[off] * n_pad_c + ocol  # radix (dest, col)
         comb_pairs = np.unique(comb)  # sorted
-        dest_p = comb_pairs // n_pad
-        col_p = comb_pairs % n_pad
-        src_p = col_p // n_loc
+        dest_p = comb_pairs // n_pad_c
+        col_p = comb_pairs % n_pad_c
+        src_p = col_p // n_loc_c
         # order within each (src, dest) group, columns ascending
         ordr = np.lexsort((col_p, dest_p, src_p))
         gkey = src_p[ordr] * ndev + dest_p[ordr]
@@ -519,7 +541,7 @@ def dist_aij_from_scipy(a, mesh: Mesh, dtype=None, dia="auto"):
         ghost_of_pair[ordr] = src_p[ordr] * max_send + slot
         send_idx = np.zeros((ndev, ndev, max_send), np.int32)
         send_idx[src_p[ordr], dest_p[ordr], slot] = (
-            col_p[ordr] % n_loc
+            col_p[ordr] % n_loc_c
         ).astype(np.int32)
         # map each offdiag entry to its ghost-buffer index
         pos = np.searchsorted(comb_pairs, comb)
@@ -544,7 +566,10 @@ def dist_aij_from_scipy(a, mesh: Mesh, dtype=None, dia="auto"):
         (m, n),
         n_pad,
         mesh,
+        n_pad_col=None if square else n_pad_c,
     )
+    if not square:
+        return A  # DIA fast path is square-only
     if dia == "auto":
         try:
             A = dist_aij_to_dia(A, max_diag_blowup=2.0)
