@@ -311,6 +311,41 @@ class DistAIJ:
         isdiag = self.diag_cols == rloc
         return jnp.sum(jnp.where(isdiag, self.diag_vals, 0.0), axis=1)
 
+    def to_scipy_rows(self, s):
+        """Reconstruct ONLY shard s's row block as a (n_loc, n_pad_c)
+        scipy CSR — O(local nnz) host memory.  The building block of the
+        streaming AMG setup (each host touches its own shards' rows, as
+        PETSc's parallel PCSetUp does)."""
+        import scipy.sparse as sps
+
+        n_loc, n_loc_c, ndev = self.n_loc, self.n_loc_c, self.ndev
+        sl = slice(s * n_loc, (s + 1) * n_loc)
+        dc = np.asarray(jax.device_get(self.diag_cols[sl]))
+        dv = np.asarray(jax.device_get(self.diag_vals[sl]))
+        oc = np.asarray(jax.device_get(self.off_cols[sl]))
+        ov = np.asarray(jax.device_get(self.off_vals[sl]))
+        sidx = np.asarray(jax.device_get(self.send_idx))
+        rows, cols, vals = [], [], []
+        ri, ki = np.nonzero(dc >= 0)
+        rows.append(ri)
+        cols.append(dc[ri, ki].astype(np.int64) + s * n_loc_c)
+        vals.append(dv[ri, ki])
+        gcols = (
+            np.arange(ndev, dtype=np.int64)[:, None] * n_loc_c
+            + sidx[:, s, :]
+        ).reshape(-1)
+        ri, ki = np.nonzero(oc >= 0)
+        rows.append(ri)
+        cols.append(gcols[oc[ri, ki]])
+        vals.append(ov[ri, ki])
+        return sps.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(n_loc, self.n_pad_c),
+        ).tocsr()
+
     def to_scipy(self):
         """Reconstruct the global (true-size) matrix on host.
 

@@ -299,3 +299,51 @@ def test_native_aggregate_matches_numpy():
     assert np.array_equal(agg_c, agg_py)
     # every node aggregated, ids dense in [0, na)
     assert agg_c.min() >= 0 and agg_c.max() == na_c - 1
+
+
+def test_dist_gamg_stream_setup():
+    """setup='stream' (O(local nnz) per step, no global host matrix)
+    converges in AMG-class iterations; parity with the global setup
+    within the boundary-restricted-aggregation allowance."""
+    from saddle_point_petsc_tpu.parallel import dist_csr
+    from saddle_point_petsc_tpu.solvers.amg import dist_amg_pc
+
+    a = poisson2d(40)  # 1600 rows over 8 shards
+    mesh = dist_csr.make_mesh_1d()
+    Ad = dist_csr.dist_aij_from_scipy(a.astype(np.float64), mesh)
+    Ms = dist_amg_pc(Ad, coarse_max=100, setup="stream")
+    assert len(Ms.levels) >= 1
+    rng_l = np.random.default_rng(7)
+    b_host = rng_l.standard_normal(a.shape[0])
+    bd = dist_csr.pad_vector(b_host, Ad.n_pad, mesh)
+    res_s = krylov.cg(Ad, bd, M=Ms, rtol=1e-8, maxiter=100)
+    assert int(res_s.converged_reason) > 0
+    x = np.asarray(res_s.x)[: a.shape[0]]
+    rrel = float(np.linalg.norm(a @ x - b_host) / np.linalg.norm(b_host))
+    assert rrel < 1e-7
+    Mg = dist_amg_pc(Ad, a_scipy=a, coarse_max=100)
+    res_g = krylov.cg(Ad, bd, M=Mg, rtol=1e-8, maxiter=100)
+    # boundary-restricted aggregation costs at most a few iterations
+    assert int(res_s.iterations) <= int(res_g.iterations) + 6
+
+
+def test_dist_gamg_stream_through_options():
+    """-pc_gamg_setup stream reaches the streaming builder."""
+    from saddle_point_petsc_tpu.parallel import dist_csr
+    from saddle_point_petsc_tpu.solvers.amg import DistAMGPC
+
+    a = poisson2d(32)
+    mesh = dist_csr.make_mesh_1d()
+    Ad = dist_csr.dist_aij_from_scipy(a.astype(np.float64), mesh)
+    M = make_pc(
+        "gamg", Ad,
+        Options(["-pc_gamg_setup", "stream",
+                 "-pc_gamg_coarse_eq_limit", "150"]),
+    )
+    assert isinstance(M, DistAMGPC)
+    bd = dist_csr.pad_vector(
+        np.random.default_rng(0).standard_normal(a.shape[0]),
+        Ad.n_pad, mesh,
+    )
+    res = krylov.cg(Ad, bd, M=M, rtol=1e-8, maxiter=60)
+    assert int(res.converged_reason) > 0 and int(res.iterations) <= 30
