@@ -54,6 +54,30 @@ def make_mesh_1d(ndev=None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:ndev]), (SHARD,))
 
 
+def _put_sharded(arr, sharding):
+    """Place a host array onto a (possibly cross-process) sharding.
+
+    device_put of a host array works only when every shard is locally
+    addressable; make_array_from_callback covers single- AND multi-
+    process runs (each process materializes only its own shards — the
+    pattern the multihost VTK/ILU paths already use)."""
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def _device_get_global(x):
+    """Fetch a (possibly cross-process) sharded array to host, whole."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)
+        )
+    return np.asarray(jax.device_get(x))
+
+
 def _ell_rowsum(cols, vals, vec):
     """y_i = sum_k vals[i,k] * vec[cols[i,k]]  (cols<0 = padding)."""
     valid = cols >= 0
@@ -320,11 +344,11 @@ class DistAIJ:
 
         n_loc, n_loc_c, ndev = self.n_loc, self.n_loc_c, self.ndev
         sl = slice(s * n_loc, (s + 1) * n_loc)
-        dc = np.asarray(jax.device_get(self.diag_cols[sl]))
-        dv = np.asarray(jax.device_get(self.diag_vals[sl]))
-        oc = np.asarray(jax.device_get(self.off_cols[sl]))
-        ov = np.asarray(jax.device_get(self.off_vals[sl]))
-        sidx = np.asarray(jax.device_get(self.send_idx))
+        dc = _device_get_global(self.diag_cols[sl])
+        dv = _device_get_global(self.diag_vals[sl])
+        oc = _device_get_global(self.off_cols[sl])
+        ov = _device_get_global(self.off_vals[sl])
+        sidx = _device_get_global(self.send_idx)
         rows, cols, vals = [], [], []
         ri, ki = np.nonzero(dc >= 0)
         rows.append(ri)
@@ -355,11 +379,11 @@ class DistAIJ:
         AMG setup); never on the solve path."""
         import scipy.sparse as sps
 
-        dc = np.asarray(jax.device_get(self.diag_cols))
-        dv = np.asarray(jax.device_get(self.diag_vals))
-        oc = np.asarray(jax.device_get(self.off_cols))
-        ov = np.asarray(jax.device_get(self.off_vals))
-        sidx = np.asarray(jax.device_get(self.send_idx))
+        dc = _device_get_global(self.diag_cols)
+        dv = _device_get_global(self.diag_vals)
+        oc = _device_get_global(self.off_cols)
+        ov = _device_get_global(self.off_vals)
+        sidx = _device_get_global(self.send_idx)
         ndev, n_loc, n_loc_c = self.ndev, self.n_loc, self.n_loc_c
         rows, cols, vals = [], [], []
         for d in range(ndev):
@@ -415,6 +439,29 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _diag_band_layout(
+    dc, dv, n_loc, n_pad, max_diag_blowup=4.0, max_diags=512
+):
+    """(ndiag, n_pad) band array + static offsets for the diag blocks
+    (host numpy; raises ValueError on irregular band structures)."""
+    r_all, k_all = np.nonzero(dc >= 0)
+    loc_r = r_all % n_loc
+    off_all = dc[r_all, k_all].astype(np.int64) - loc_r
+    offs = np.unique(off_all)
+    nnz_diag = len(r_all)
+    if len(offs) > max_diags or len(offs) * n_pad > max_diag_blowup * max(
+        nnz_diag, 1
+    ):
+        raise ValueError(
+            f"dist_aij diag bands: {len(offs)} bands x {n_pad} rows "
+            f"exceeds {max_diag_blowup}x the diag nnz ({nnz_diag}); "
+            "RCM-reorder first (local_rcm_permutation) or keep ELL"
+        )
+    data = np.zeros((len(offs), n_pad), dv.dtype)
+    data[np.searchsorted(offs, off_all), r_all] = dv[r_all, k_all]
+    return data, tuple(int(o) for o in offs)
+
+
 def dist_aij_to_dia(
     A: DistAIJ, max_diag_blowup=4.0, max_diags=512
 ) -> DistAIJ:
@@ -438,31 +485,13 @@ def dist_aij_to_dia(
         return A
     if A.n_pad_col is not None:
         raise ValueError("dist_aij_to_dia: square operators only")
-    dc = np.asarray(jax.device_get(A.diag_cols))
-    dv = np.asarray(jax.device_get(A.diag_vals))
-    ndev, n_loc, n_pad = A.ndev, A.n_loc, A.n_pad
-    r_all, k_all = np.nonzero(dc >= 0)
-    loc_r = r_all % n_loc
-    off_all = dc[r_all, k_all].astype(np.int64) - loc_r
-    offs = np.unique(off_all)
-    nnz_diag = len(r_all)
-    if len(offs) > max_diags or len(offs) * n_pad > max_diag_blowup * max(
-        nnz_diag, 1
-    ):
-        raise ValueError(
-            f"dist_aij_to_dia: {len(offs)} bands x {n_pad} rows exceeds "
-            f"{max_diag_blowup}x the diag nnz ({nnz_diag}); RCM-reorder "
-            "first (local_rcm_permutation) or keep the ELL path"
-        )
-    data = np.zeros((len(offs), n_pad), dv.dtype)
-    d_idx = np.searchsorted(offs, off_all)
-    data[d_idx, r_all] = dv[r_all, k_all]
-    dia = jax.device_put(
-        jnp.asarray(data), NamedSharding(A.mesh, P(None, SHARD))
+    dc = _device_get_global(A.diag_cols)
+    dv = _device_get_global(A.diag_vals)
+    data, offs = _diag_band_layout(
+        dc, dv, A.n_loc, A.n_pad, max_diag_blowup, max_diags
     )
-    return dataclasses.replace(
-        A, dia_data=dia, dia_offsets=tuple(int(o) for o in offs)
-    )
+    dia = _put_sharded(data, NamedSharding(A.mesh, P(None, SHARD)))
+    return dataclasses.replace(A, dia_data=dia, dia_offsets=offs)
 
 
 def local_rcm_permutation(a, ndev):
@@ -589,30 +618,40 @@ def dist_aij_from_scipy(a, mesh: Mesh, dtype=None, dia="auto"):
         off_cols = np.full((n_pad, 1), -1, np.int32)
         off_vals = np.zeros((n_pad, 1), dtype)
 
+    # banded diag-block fast path, computed from the HOST arrays before
+    # placement (multihost-safe: no device_get of remote shards needed)
+    dia_data_np, dia_offs = None, ()
+    if square and dia in ("auto", "force"):
+        try:
+            dia_data_np, dia_offs = _diag_band_layout(
+                diag_cols, diag_vals, n_loc, n_pad,
+                max_diag_blowup=2.0 if dia == "auto" else 4.0,
+            )
+        except ValueError:
+            if dia == "force":
+                raise
     row_shard = NamedSharding(mesh, P(SHARD, None))
-    A = DistAIJ(
-        jax.device_put(jnp.asarray(diag_cols), row_shard),
-        jax.device_put(jnp.asarray(diag_vals), row_shard),
-        jax.device_put(jnp.asarray(off_cols), row_shard),
-        jax.device_put(jnp.asarray(off_vals), row_shard),
-        jax.device_put(
-            jnp.asarray(send_idx), NamedSharding(mesh, P(SHARD, None, None))
+    return DistAIJ(
+        _put_sharded(diag_cols, row_shard),
+        _put_sharded(diag_vals, row_shard),
+        _put_sharded(off_cols, row_shard),
+        _put_sharded(off_vals, row_shard),
+        _put_sharded(
+            send_idx, NamedSharding(mesh, P(SHARD, None, None))
         ),
         (m, n),
         n_pad,
         mesh,
+        dia_data=(
+            None
+            if dia_data_np is None
+            else _put_sharded(
+                dia_data_np, NamedSharding(mesh, P(None, SHARD))
+            )
+        ),
+        dia_offsets=dia_offs,
         n_pad_col=None if square else n_pad_c,
     )
-    if not square:
-        return A  # DIA fast path is square-only
-    if dia == "auto":
-        try:
-            A = dist_aij_to_dia(A, max_diag_blowup=2.0)
-        except ValueError:
-            pass  # irregular band structure: ELL gathers remain
-    elif dia == "force":
-        A = dist_aij_to_dia(A)
-    return A
 
 
 def dist_aij_block_jacobi(A: DistAIJ, iters=8):
@@ -639,7 +678,7 @@ def pad_vector(b, n_pad, mesh: Mesh):
     out = np.zeros((n_pad,) + b.shape[1:], b.dtype)
     out[: b.shape[0]] = b
     spec = P(SHARD) if b.ndim == 1 else P(SHARD, None)
-    return jax.device_put(jnp.asarray(out), NamedSharding(mesh, spec))
+    return _put_sharded(out, NamedSharding(mesh, spec))
 
 
 # ---------------------------------------------------------------------------
@@ -796,8 +835,8 @@ def dist_aij_ilu0(A: DistAIJ, sweeps=6) -> DistAIJILU0PC:
     ILU(0) kernel; ELL-pack the triangular factors and re-shard them."""
     import scipy.sparse as sps
 
-    dc = np.asarray(jax.device_get(A.diag_cols))
-    dv = np.asarray(jax.device_get(A.diag_vals), np.float64)
+    dc = _device_get_global(A.diag_cols)
+    dv = _device_get_global(A.diag_vals).astype(np.float64)
     ndev, n_loc = A.ndev, A.n_loc
     parts = []
     for s in range(ndev):
@@ -853,11 +892,11 @@ def dist_aij_ilu0(A: DistAIJ, sweeps=6) -> DistAIJILU0PC:
     row_shard = NamedSharding(A.mesh, P(SHARD, None))
     vec_shard = NamedSharding(A.mesh, P(SHARD))
     return DistAIJILU0PC(
-        jax.device_put(jnp.asarray(Lc), row_shard),
-        jax.device_put(jnp.asarray(Lv), row_shard),
-        jax.device_put(jnp.asarray(Uc), row_shard),
-        jax.device_put(jnp.asarray(Uv), row_shard),
-        jax.device_put(jnp.asarray(ivd), vec_shard),
+        _put_sharded(Lc, row_shard),
+        _put_sharded(Lv, row_shard),
+        _put_sharded(Uc, row_shard),
+        _put_sharded(Uv, row_shard),
+        _put_sharded(ivd, vec_shard),
         A.mesh,
         sweeps,
     )
