@@ -493,11 +493,13 @@ def bench_aij_tpu(n_nodes=512, reps=50):
         lambda v: sp.dia_matvec(dia, v), x0
     )
     try:
-        from saddle_point_petsc_tpu.ops.pallas.spmv import dia_spmv_pallas
+        from saddle_point_petsc_tpu.ops.pallas.spmv import (
+            dia_spmv_pallas_2d,
+        )
 
         interp = jax.default_backend() != "tpu"
         out["aij_tpu_dia_pallas_nnz_per_s"] = chain_nnz_per_s(
-            lambda v: dia_spmv_pallas(
+            lambda v: dia_spmv_pallas_2d(
                 dia.data, v, dia.offsets, interpret=interp
             ),
             x0,

@@ -146,3 +146,33 @@ def test_dia_pallas_kernel_matches_xla(rng):
         rtol=1e-10,
         atol=1e-12,
     )
+
+
+def test_dia_spmv_pallas_2d_exact(rng):
+    """2D-tiled DIA kernel (all 8 sublanes live — the r3 1D kernel ran
+    on (1, bn) blocks at 1/8 VPU) vs the XLA lowering, incl. offsets
+    that are not multiples of the 128-lane width."""
+    from saddle_point_petsc_tpu.ops.pallas.spmv import dia_spmv_pallas_2d
+
+    n1 = 37  # odd: offsets (-37, -1, 0, 1, 37) exercise lane rotates
+    ix = sps.identity(n1)
+    t1 = sps.diags([-1.0, 4.0, -1.0], [-1, 0, 1], (n1, n1))
+    a = (sps.kron(ix, t1) + sps.kron(t1, ix)).tocsr().astype(np.float32)
+    dia, _ = sp.csr_to_dia(sp.scipy_to_csr(a))
+    x = jnp.asarray(rng.standard_normal(a.shape[0]), jnp.float32)
+    y = np.asarray(
+        dia_spmv_pallas_2d(dia.data, x, dia.offsets, interpret=True)
+    )
+    np.testing.assert_allclose(y, a @ np.asarray(x), atol=1e-4)
+    offs = (-300, -17, -1, 0, 3, 129, 255)
+    n = 1000
+    data = jnp.asarray(
+        rng.standard_normal((len(offs), n)), jnp.float32
+    )
+    d = sp.DIA(data, offs, (n, n))
+    y2 = np.asarray(
+        dia_spmv_pallas_2d(data, x[:n], offs, interpret=True)
+    )
+    np.testing.assert_allclose(
+        y2, np.asarray(sp.dia_matvec(d, x[:n])), atol=1e-4
+    )
