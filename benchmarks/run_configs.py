@@ -225,6 +225,8 @@ def config3_bsr():
 
     u0 = field_to_flat(prob.f)
     bsr_nnz_s = chain(lambda v: sp.bsr_matvec(bsr, v), u0)
+    bdia = sp.bsr_to_bdia(bsr)
+    bdia_nnz_s = chain(lambda v: sp.bdia_matvec(bdia, v), u0)
     sten_nnz_s = chain(
         lambda v: prob.A.matvec(v), u0
     )  # flat in/out for apples-to-apples
@@ -234,6 +236,7 @@ def config3_bsr():
         {
             "dtype": str(dtype.__name__),
             "bsr_nnz_per_s": bsr_nnz_s,
+            "bdia_nnz_per_s": bdia_nnz_s,  # 2x2 blocks by block-diagonal
             "stencil_nnz_per_s": sten_nnz_s,
         },
     )

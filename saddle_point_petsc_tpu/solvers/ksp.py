@@ -16,6 +16,8 @@ Supported options (prefix-scoped; defaults follow PETSc where sensible):
   -pc_type {none,jacobi,pbjacobi,sor,bjacobi,ilu,chebyshev,fieldsplit,mg,
             gamg}  [jacobi]
   -pc_gamg_threshold <t> [0.08]   -pc_gamg_coarse_eq_limit <n> [500]
+  -pc_gamg_setup {global,stream}  [global]  (stream: O(local nnz) setup)
+  -pc_mg_cycles {1,2} [1]         (PCMGSetCycleType: 1 = V, 2 = W)
   -pc_bjacobi_blocks <n>  [4]     -pc_sor_omega <w> [1.0]
   -pc_ilu_sweeps <k>  [6]         (0 = exact sequential triangular solves)
   -pc_fieldsplit_type {additive,multiplicative,schur}
