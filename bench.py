@@ -662,11 +662,13 @@ def _install_deadline(seconds):
 
 
 def main():
-    # watchdog headroom: the r3 full run measured ~2500 s (SpMV x2 at
-    # 1024^2, both refined-KKT kinds, dist 1e-8, TPU sparse formats,
-    # configs 3+4, CPU scaling subprocess); 3600 covers it with margin
-    # while still converting a wedged tunnel fetch into a partial JSON.
-    _install_deadline(int(os.environ.get("BENCH_DEADLINE_S", "3600")))
+    # watchdog headroom: the r3 full run measured ~2500 s; round 4 adds
+    # config3-to-1e-8 (~4 min) and the 10M-row config 5 (~28 min wall,
+    # dominated by f64 host assembly on 2 cores).  5200 covers it while
+    # still converting a wedged tunnel fetch into a partial JSON; the
+    # long config-5 section runs LAST so a deadline fire costs only its
+    # keys.
+    _install_deadline(int(os.environ.get("BENCH_DEADLINE_S", "5200")))
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     # NOTE: do NOT enable the persistent compile cache here — on the
@@ -781,7 +783,10 @@ def main():
         )
     except Exception as e:
         out["config3_rtol1e8_error"] = repr(e)[:160]
-    # BASELINE config 5 scale: 10M-row KKT, single chip, rtol 1e-8
+    out.update(bench_scaling_subprocess())
+    # BASELINE config 5 scale LAST (the longest section: ~10 min f64
+    # host assembly + compile + 40 s solve on the chip) so a deadline
+    # fire can only cost these keys, never the headline
     try:
         t5, cyc5, its5, rrel5, rows5, nnz5 = bench_refined_kkt_dist(
             n_nodes=int(os.environ.get("BENCH_C5_N", "2241")),
@@ -797,7 +802,6 @@ def main():
         )
     except Exception as e:
         out["config5_error"] = repr(e)[:160]
-    out.update(bench_scaling_subprocess())
     _emit(out)
 
 
