@@ -13,9 +13,14 @@ Kernels, matching the production formats:
 - `stencil_spmv_pallas_padded`: same kernel taking an already halo-padded
   field — the distributed flavor, where the 1-ring comes from the ppermute
   halo exchange (parallel/halo.py) instead of zero padding.
-- `dia_spmv_pallas`: DIA (banded) SpMV — per-diagonal shifted products, no
-  gathers or index arrays (see ops/sparse.py DIA for the RCM-reordering
-  route that makes arbitrary matrices banded).
+- `dia_spmv_pallas_2d`: DIA (banded) SpMV on a 2D (rows, 128) view of
+  the vector — per-diagonal row shifts + lane rotates, no gathers or
+  index arrays (see ops/sparse.py DIA for the RCM-reordering route that
+  makes arbitrary matrices banded).  Production DIA kernel: measured
+  165 Gnnz/s on v5e vs 116 for the XLA DIA lowering (262k-row 5-point
+  operator, r4 capture).  The 1D `dia_spmv_pallas` predecessor computed
+  on (1, bn) blocks — one of eight sublanes live — and measured 10.4;
+  kept as the reference schedule.
 
 All kernels use only static shapes/offsets and run in interpret mode on CPU
 for testing.  The XLA stencil path (ops/stencil.py) measures ~102% of the
@@ -211,15 +216,26 @@ def _dia2d_kernel(
     w = x2_ref[pl.ds(i * rb, rb + span), :]  # value-level window load
     data = data_ref[:]
     acc = jnp.zeros((rb, 128), data.dtype)
+    # group diagonals by lane remainder r so each rolled window is
+    # computed once; lane-unaligned concat does not lower in Mosaic
+    # ("offset mismatch on non-concat dimension"), so the cross-row
+    # carry is a lane ROTATE of the whole window + a lane-index select
+    by_r = {}
     for k, off in enumerate(offsets):
         q, r = divmod(off, 128)  # python divmod: 0 <= r < 128
-        a1 = jax.lax.dynamic_slice_in_dim(w, pad_top + q, rb, 0)
-        if r == 0:
-            s = a1
-        else:
-            a2 = jax.lax.dynamic_slice_in_dim(w, pad_top + q + 1, rb, 0)
-            s = jnp.concatenate([a1[:, r:], a2[:, :r]], axis=1)
-        acc = acc + data[k] * s
+        by_r.setdefault(r, []).append((k, q))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1)
+    for r, items in sorted(by_r.items()):
+        # wr[:, c] = w[:, (c + r) % 128]
+        wr = w if r == 0 else pltpu.roll(w, 128 - r, axis=1)
+        for k, q in items:
+            a1 = wr[pad_top + q : pad_top + q + rb, :]
+            if r == 0:
+                s = a1
+            else:
+                a2 = wr[pad_top + q + 1 : pad_top + q + 1 + rb, :]
+                s = jnp.where(lane < 128 - r, a1, a2)
+            acc = acc + data[k] * s
     o_ref[:] = acc
 
 
