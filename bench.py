@@ -513,6 +513,13 @@ def bench_aij_tpu(n_nodes=512, reps=50):
     out["aij_tpu_bsr_nnz_per_s"] = chain_nnz_per_s(
         lambda v: sp.bsr_matvec(bsr, v), x0
     )
+    try:  # 2x2 blocks by block-diagonal: the BSR-class TPU fast path
+        bdia = sp.bsr_to_bdia(bsr)
+        out["aij_tpu_bdia_nnz_per_s"] = chain_nnz_per_s(
+            lambda v: sp.bdia_matvec(bdia, v), x0
+        )
+    except Exception as e:
+        out["aij_tpu_bdia_error"] = repr(e)[:120]
     mesh = dist_csr.make_mesh_1d()
     # production path (dia="auto" attaches the banded diag-block fast
     # path); the pure-ELL variant is kept for the before/after record
@@ -583,7 +590,8 @@ _KEY_ORDER = (
     "kkt_rtol1e8_dist_rows", "kkt_rtol1e8_dist_cycles",
     "kkt_rtol1e8_dist_rel_rnorm", "kkt_rtol1e8_dist_s",
     "aij_tpu_rows", "aij_tpu_ell_nnz_per_s", "aij_tpu_csr_nnz_per_s",
-    "aij_tpu_bsr_nnz_per_s", "aij_tpu_dia_nnz_per_s",
+    "aij_tpu_bsr_nnz_per_s", "aij_tpu_bdia_nnz_per_s",
+    "aij_tpu_dia_nnz_per_s",
     "aij_tpu_dia_pallas_nnz_per_s", "aij_tpu_distaij_ell_nnz_per_s",
     "aij_tpu_distaij_format", "aij_tpu_distaij_nnz_per_s",
     "aij_tpu_best_format", "aij_tpu_nnz_per_s",
