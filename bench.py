@@ -333,7 +333,8 @@ def bench_refined_kkt_bsr(n_nodes=257, rtol=1e-8):
 
 
 def bench_refined_kkt_dist(
-    n_nodes=705, rtol=1e-8, inner_maxiter=6000, return_nnz=False
+    n_nodes=705, rtol=1e-8, inner_maxiter=6000, return_nnz=False,
+    inner_kind="minres-diag",
 ):
     """Config-4-class distributed rtol-1e-8: double-float refinement
     composed with the DISTRIBUTED operator (~1M-row KKT) over the attached
@@ -378,15 +379,40 @@ def bench_refined_kkt_dist(
         planes_dd.hi, mesh, active_shape=(n_nodes, n_nodes)
     )
     Kd = dist.DistSaddleOperator(Ad, Bf_dd.hi)
-    # diag-Schur here, NOT the serial headline's cheb3 inner: at ~1M rows
-    # the matvec is compute-bound and cheb3's 4x matvecs/iteration beat
-    # its 3x iteration reduction (measured r3: 2.06 s cheb3 vs 0.81 s
-    # diag).  The cheb3 win at 256^2 comes from per-iteration fixed
-    # costs, which vanish at this size.
-    Md = precond.schur_pc(Ad, Bf_dd.hi, fact_type="diag")
+    # inner_kind "minres-diag": diag-Schur MINRES — at ~1M rows the
+    # matvec is compute-bound and cheb3's 4x matvecs/iteration beat its
+    # 3x iteration reduction (measured r3: 2.06 s cheb3 vs 0.81 s diag;
+    # the cheb3 win at 256^2 comes from per-iteration fixed costs,
+    # which vanish at this size).  "fgmres-mg": multigrid-Schur FGMRES
+    # correction — at config-5 scale (10M rows) iteration counts, not
+    # fixed costs, dominate, and the O(1)-iteration MG hierarchy wins.
+    inner = None
+    inner_ops = None
+    Md = None
+    if inner_kind == "fgmres-mg":
+        from saddle_point_petsc_tpu.solvers import krylov
+        from saddle_point_petsc_tpu.solvers.multigrid import mg_pc_dist
+
+        Mmg = precond.schur_pc(
+            Ad, Bf_dd.hi,
+            inner_solve=mg_pc_dist(Ad, smoother="chebyshev"),
+            fact_type="full",
+        )
+        inner_ops = (Kd, Mmg)
+
+        def inner(ru, rlam, ops):
+            Kt, Mt = ops
+            res = krylov.fgmres(
+                Kt, (ru, rlam), M=Mt, rtol=1e-3, maxiter=60, restart=30
+            )
+            return res.x, res.iterations
+
+    else:
+        Md = precond.schur_pc(Ad, Bf_dd.hi, fact_type="diag")
     run = refine.solve_refined_kkt_fused(
         Kd, (f_dd, b_df1), rtol=rtol, planes_df=planes_dd, Bf_df=Bf_dd,
         M=Md, inner_rtol=1e-3, inner_maxiter=inner_maxiter,
+        inner=inner, inner_operands=inner_ops,
     )
 
     _sync_scalar(run()[3])  # compile + warm
