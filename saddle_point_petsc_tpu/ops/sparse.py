@@ -619,14 +619,18 @@ def dia_matvec(dia: DIA, x):
 
 @dataclasses.dataclass(frozen=True)
 class BDIA:
-    """Block-diagonal storage: data[k, i] = block A[i, i + offsets[k]]
+    """Block-diagonal storage: data[k, :, :, i] = block A[i, i+offsets[k]]
     (block indices, row-indexed like DIA).
 
-    data: (nblockdiag, mb, b, b); offsets: static tuple of BLOCK offsets;
-    shape: scalar (m, n) with m = mb * b.
+    data: (nblockdiag, b, b, mb) — the block-row axis is LAST so it
+    rides the 128-lane dimension (a (mb, b, b) layout puts the size-b
+    block dims on the lanes: measured 0.97 Gnnz/s on v5e vs 100+ for
+    this dof-major layout, the same lesson as the stencil planes).
+    offsets: static tuple of BLOCK offsets; shape: scalar (m, n),
+    m = mb * b.
     """
 
-    data: Any  # (ndiag, mb, b, b)
+    data: Any  # (ndiag, b, b, mb)
     offsets: tuple  # static block offsets
     shape: tuple  # scalar shape
     block: int = 2
@@ -643,8 +647,9 @@ class BDIA:
         i = jnp.arange(mb)
         for k, off in enumerate(self.offsets):
             valid = (i + off >= 0) & (i + off < n // b)
+            blk = jnp.moveaxis(self.data[k], -1, 0)  # (mb, b, b)
             out = out.at[i, jnp.clip(i + off, 0, n // b - 1)].add(
-                jnp.where(valid[:, None, None], self.data[k], 0.0)
+                jnp.where(valid[:, None, None], blk, 0.0)
             )
         return out.transpose(0, 2, 1, 3).reshape(m, n)
 
@@ -660,8 +665,8 @@ class BDIA:
     def diagonal(self):
         b = self.block
         if 0 in self.offsets:
-            blk = self.data[self.offsets.index(0)]  # (mb, b, b)
-            return jnp.einsum("icc->ic", blk).reshape(-1)
+            blk = self.data[self.offsets.index(0)]  # (b, b, mb)
+            return jnp.einsum("cci->ic", blk).reshape(-1)
         return jnp.zeros((self.shape[0],), self.data.dtype)
 
 
@@ -688,9 +693,9 @@ def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
             f"exceeds {max_diag_blowup}x the block nnz ({len(r)})"
         )
     b = bsr.block
-    data = np.zeros((len(offs), mb, b, b), vals.dtype)
+    data = np.zeros((len(offs), b, b, mb), vals.dtype)
     d_idx = np.searchsorted(offs, c.astype(np.int64) - r)
-    data[d_idx, r] = v
+    data[d_idx, :, :, r] = v
     return BDIA(
         jnp.asarray(data),
         tuple(int(o) for o in offs),
@@ -700,48 +705,55 @@ def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
 
 
 def bdia_matvec(bdia: BDIA, x):
-    """y = A @ x: per-block-offset shifted einsums (no gathers)."""
+    """y = A @ x: per-block-offset shifted multiply-adds over dof-major
+    (b, mb) vectors — block-row axis on the lanes, no gathers."""
     b = bdia.block
     mb = bdia.shape[0] // b
-    xb = x.reshape(mb, b)
+    xb = x.reshape(mb, b).T  # dof-major (b, mb)
     y = jnp.zeros_like(xb)
     for k, off in enumerate(bdia.offsets):
+        blk = bdia.data[k]  # (b, b, mb)
         if off == 0:
-            y = y + jnp.einsum("icd,id->ic", bdia.data[k], xb)
+            y = y + jnp.einsum("cdi,di->ci", blk, xb)
         elif off > 0:
-            y = y.at[: mb - off].add(
+            y = y.at[:, : mb - off].add(
                 jnp.einsum(
-                    "icd,id->ic", bdia.data[k, : mb - off], xb[off:]
+                    "cdi,di->ci", blk[:, :, : mb - off], xb[:, off:]
                 )
             )
         else:
-            y = y.at[-off:].add(
+            y = y.at[:, -off:].add(
                 jnp.einsum(
-                    "icd,id->ic", bdia.data[k, -off:], xb[: mb + off]
+                    "cdi,di->ci", blk[:, :, -off:], xb[:, : mb + off]
                 )
             )
-    return y.reshape(-1)
+    return y.T.reshape(-1)
 
 
 def bdia_matmat(bdia: BDIA, X):
-    """Y = A @ X for dense X (n, k): shifted block einsums on the MXU."""
+    """Y = A @ X for dense X (n, k): shifted block products, dof-major."""
     b = bdia.block
     mb = bdia.shape[0] // b
-    Xb = X.reshape(mb, b, X.shape[1])
+    Xb = jnp.moveaxis(X.reshape(mb, b, X.shape[1]), 0, -1)  # (b, k, mb)
     Y = jnp.zeros_like(Xb)
     for k, off in enumerate(bdia.offsets):
+        blk = bdia.data[k]  # (b, b, mb)
         if off == 0:
-            Y = Y + jnp.einsum("icd,idk->ick", bdia.data[k], Xb)
+            Y = Y + jnp.einsum("cdi,dki->cki", blk, Xb)
         elif off > 0:
-            Y = Y.at[: mb - off].add(
+            Y = Y.at[:, :, : mb - off].add(
                 jnp.einsum(
-                    "icd,idk->ick", bdia.data[k, : mb - off], Xb[off:]
+                    "cdi,dki->cki",
+                    blk[:, :, : mb - off],
+                    Xb[:, :, off:],
                 )
             )
         else:
-            Y = Y.at[-off:].add(
+            Y = Y.at[:, :, -off:].add(
                 jnp.einsum(
-                    "icd,idk->ick", bdia.data[k, -off:], Xb[: mb + off]
+                    "cdi,dki->cki",
+                    blk[:, :, -off:],
+                    Xb[:, :, : mb + off],
                 )
             )
-    return Y.reshape(bdia.shape[0], -1)
+    return jnp.moveaxis(Y, -1, 0).reshape(bdia.shape[0], -1)
