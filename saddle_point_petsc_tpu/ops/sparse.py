@@ -516,11 +516,17 @@ class DIA:
     matrices.  FEM/stencil matrices are naturally banded; arbitrary sparse
     matrices become banded after RCM reordering (utils/native.py `rcm`).
     Offsets are static (part of the pytree aux data).
+
+    backend: "xla" (default; shifted adds, 116 Gnnz/s on v5e) or
+    "pallas" (the 2D-tiled kernel in ops/pallas/spmv.py, 154-165 Gnnz/s
+    — r4 chip captures at 262k rows).  Selectable at runtime via
+    `-mat_dia_backend` (amg_pc plumbs it into every level operator).
     """
 
     data: Any  # (ndiag, n)
     offsets: tuple  # static ints
     shape: tuple
+    backend: str = "xla"  # static
 
     @property
     def nnz(self):
@@ -552,7 +558,7 @@ class DIA:
         return jnp.zeros((self.shape[0],), self.data.dtype)
 
 
-_pytree_dataclass(DIA, ("data",), ("offsets", "shape"))
+_pytree_dataclass(DIA, ("data",), ("offsets", "shape", "backend"))
 
 
 def csr_to_dia(csr: CSR, rcm_reorder=False):
@@ -594,7 +600,18 @@ def csr_to_dia(csr: CSR, rcm_reorder=False):
 
 
 def dia_matvec(dia: DIA, x):
-    """y = A @ x via shifted elementwise products (XLA path)."""
+    """y = A @ x: shifted elementwise products (XLA) or the 2D-tiled
+    Pallas kernel, per dia.backend."""
+    if dia.backend == "pallas":
+        from saddle_point_petsc_tpu.ops.pallas.spmv import (
+            dia_spmv_pallas_2d,
+        )
+        import jax as _jax
+
+        return dia_spmv_pallas_2d(
+            dia.data, x, dia.offsets,
+            interpret=_jax.default_backend() != "tpu",
+        )
     n = dia.shape[0]
     y = jnp.zeros_like(x)
     for k, off in enumerate(dia.offsets):
@@ -704,30 +721,41 @@ def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
     )
 
 
-def bdia_matvec(bdia: BDIA, x):
-    """y = A @ x: per-block-offset shifted multiply-adds over dof-major
-    (b, mb) vectors — block-row axis on the lanes, no gathers."""
+def bdia_matvec_dofmajor(bdia: BDIA, xb):
+    """y = A @ x on a dof-major (b, mb) vector (the TPU-fast layout:
+    block-row axis on the lanes).  Unrolled static loops over the b x b
+    block entries — pure shifted elementwise multiply-adds, no einsum
+    (a batched (mb, 2, 2) dot_general pads catastrophically on the MXU)
+    and no gathers."""
     b = bdia.block
-    mb = bdia.shape[0] // b
-    xb = x.reshape(mb, b).T  # dof-major (b, mb)
+    mb = xb.shape[1]
     y = jnp.zeros_like(xb)
     for k, off in enumerate(bdia.offsets):
         blk = bdia.data[k]  # (b, b, mb)
-        if off == 0:
-            y = y + jnp.einsum("cdi,di->ci", blk, xb)
-        elif off > 0:
-            y = y.at[:, : mb - off].add(
-                jnp.einsum(
-                    "cdi,di->ci", blk[:, :, : mb - off], xb[:, off:]
-                )
-            )
-        else:
-            y = y.at[:, -off:].add(
-                jnp.einsum(
-                    "cdi,di->ci", blk[:, :, -off:], xb[:, : mb + off]
-                )
-            )
-    return y.T.reshape(-1)
+        for c in range(b):
+            for d in range(b):
+                if off == 0:
+                    y = y.at[c].add(blk[c, d] * xb[d])
+                elif off > 0:
+                    y = y.at[c, : mb - off].add(
+                        blk[c, d, : mb - off] * xb[d, off:]
+                    )
+                else:
+                    y = y.at[c, -off:].add(
+                        blk[c, d, -off:] * xb[d, : mb + off]
+                    )
+    return y
+
+
+def bdia_matvec(bdia: BDIA, x):
+    """y = A @ x for flat dof-interleaved x: transposes to dof-major,
+    applies bdia_matvec_dofmajor, transposes back.  For hot loops keep
+    vectors dof-major and call bdia_matvec_dofmajor directly — the two
+    (mb, b) transposes here are pure layout cost."""
+    b = bdia.block
+    mb = bdia.shape[0] // b
+    xb = x.reshape(mb, b).T  # dof-major (b, mb)
+    return bdia_matvec_dofmajor(bdia, xb).T.reshape(-1)
 
 
 def bdia_matmat(bdia: BDIA, X):

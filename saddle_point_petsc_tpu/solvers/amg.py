@@ -329,12 +329,16 @@ def _scipy_to_ell(Asp, dtype):
     )
 
 
-def _scipy_to_level_op(Asp, dtype, max_diag_blowup=4.0, max_diags=512):
+def _scipy_to_level_op(
+    Asp, dtype, max_diag_blowup=4.0, max_diags=512, backend="xla"
+):
     """Pick the fastest device layout for a level operator.
 
-    DIA (shift-only SpMV: no gathers — the layout TPUs want; 113 vs 0.13
+    DIA (shift-only SpMV: no gathers — the layout TPUs want; 116 vs 0.13
     Gnnz/s against ELL on v5e) whenever the distinct-offset count keeps
-    the padded storage within `max_diag_blowup` x nnz; ELL otherwise."""
+    the padded storage within `max_diag_blowup` x nnz; ELL otherwise.
+    backend: DIA matvec backend ("xla" | "pallas" — the 2D-tiled kernel,
+    154-165 Gnnz/s r4 capture; -mat_dia_backend)."""
     coo = Asp.tocoo()
     offs = np.unique(coo.col - coo.row)
     n = Asp.shape[0]
@@ -349,6 +353,7 @@ def _scipy_to_level_op(Asp, dtype, max_diag_blowup=4.0, max_diags=512):
             jnp.asarray(data, dtype),
             tuple(int(o) for o in offs),
             tuple(Asp.shape),
+            backend,
         )
     return _EllOp(_scipy_to_ell(Asp, dtype))
 
@@ -372,12 +377,14 @@ def amg_pc(
     """
     import scipy.sparse as sps
 
+    dia_backend = "xla"
     if opts is not None:
         theta = opts.get_float("pc_gamg_threshold", theta)
         coarse_max = opts.get_int("pc_gamg_coarse_eq_limit", coarse_max)
         max_levels = opts.get_int("pc_mg_levels", max_levels)
         cycles = opts.get_int("pc_mg_cycles", cycles)
         smooth_its = opts.get_int("pc_gamg_smooth_its", smooth_its)
+        dia_backend = opts.get_str("mat_dia_backend", dia_backend)
 
     Asp = _to_scipy(A).astype(np.float64)
     if dtype is None:
@@ -411,7 +418,7 @@ def amg_pc(
         Ac = (P.T @ Asp @ P).tocsr()
         Ac.eliminate_zeros()
         # level smoother: Chebyshev(jacobi) on [rho/4, 1.1*rho]
-        A_op = _scipy_to_level_op(Asp, dtype)
+        A_op = _scipy_to_level_op(Asp, dtype, backend=dia_backend)
         inv_diag = jnp.asarray(1.0 / d, dtype)
         sm = precond.ChebyshevPC(
             A_op,
