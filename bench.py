@@ -285,38 +285,48 @@ def bench_refined_kkt_bsr(n_nodes=257, rtol=1e-8):
     ny = nx = n_nodes
 
     def inner(ru, rlam, ops):
-        bdia_t, B_t, S_inv_t, mg_t = ops
-        rf = field_to_flat(ru)
+        # the whole correction solve runs in FIELD coordinates
+        # ((2, ny, nx) == the dof-major (2, mb) block layout, since flat
+        # row = (j*nx+i)*2 + c): the BDIA matvec is b^2 scalar-banded 1D
+        # chains with zero transposes, and the MG PC is field-native
+        bdia_t, Bff_t, S_inv_t, mg_t = ops
+
+        def Ab(u):
+            return sp.bdia_matvec_dofmajor(
+                bdia_t, u.reshape(2, -1)
+            ).reshape(u.shape)
+
+        def Bu(u):
+            return jnp.einsum("mcyx,cyx->m", Bff_t, u)
+
+        def BTl(lam):
+            return jnp.einsum("m,mcyx->cyx", lam, Bff_t)
 
         def Kb(v):
             u, lam = v
-            return (sp.bdia_matvec(bdia_t, u) + B_t.T @ lam, B_t @ u)
+            return (Ab(u) + BTl(lam), Bu(u))
 
         def innerA(r):
             # the worded inner CG on the Schur A-solve (MG-preconditioned
             # CG over the 2x2-block matvec; cf. run_configs.config3)
-            return krylov.cg(
-                lambda v: sp.bdia_matvec(bdia_t, v), r, M=mg_t,
-                rtol=1e-2, maxiter=10,
-            ).x
+            return krylov.cg(Ab, r, M=mg_t, rtol=1e-2, maxiter=10).x
 
         def M(r):
             ru_, rlam_ = r
             yu = innerA(ru_)
-            zlam = S_inv_t @ (rlam_ - B_t @ yu)
-            zu = yu - innerA(B_t.T @ zlam)
+            zlam = S_inv_t @ (rlam_ - Bu(yu))
+            zu = yu - innerA(BTl(zlam))
             return (zu, zlam)
 
         res = krylov.fgmres(
-            Kb, (rf, rlam), M=M, rtol=1e-3, maxiter=60, restart=30
+            Kb, (ru, rlam), M=M, rtol=1e-3, maxiter=60, restart=30
         )
-        du, dlam = res.x
-        return (flat_to_field(du, ny, nx), dlam), res.iterations
+        return res.x, res.iterations
 
     b_df = (df_from_f64(f64v), df_from_f64(g64))
     run = refine.solve_refined_kkt_fused(
         K32, b_df, rtol=rtol, planes_df=planes_df, Bf_df=Bf_df,
-        inner=inner, inner_operands=(bdia, B, S_inv, mg),
+        inner=inner, inner_operands=(bdia, Bf_df.hi, S_inv, mg),
     )
     _sync_scalar(run()[3])  # compile + warm
     t0 = time.perf_counter()

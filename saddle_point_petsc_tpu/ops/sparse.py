@@ -651,6 +651,10 @@ class BDIA:
     offsets: tuple  # static block offsets
     shape: tuple  # scalar shape
     block: int = 2
+    # static (k, c, d) triples with a structurally nonzero band: the
+    # matvec loops over exactly these, each a 1D shifted multiply-add
+    # (empty tuple = treat every triple as active)
+    active: tuple = ()
 
     @property
     def nnz(self):
@@ -687,7 +691,7 @@ class BDIA:
         return jnp.zeros((self.shape[0],), self.data.dtype)
 
 
-_pytree_dataclass(BDIA, ("data",), ("offsets", "shape", "block"))
+_pytree_dataclass(BDIA, ("data",), ("offsets", "shape", "block", "active"))
 
 
 def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
@@ -713,38 +717,53 @@ def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
     data = np.zeros((len(offs), b, b, mb), vals.dtype)
     d_idx = np.searchsorted(offs, c.astype(np.int64) - r)
     data[d_idx, :, :, r] = v
+    active = tuple(
+        (int(k), int(cc), int(dd))
+        for k in range(len(offs))
+        for cc in range(b)
+        for dd in range(b)
+        if np.any(data[k, cc, dd] != 0)
+    )
     return BDIA(
         jnp.asarray(data),
         tuple(int(o) for o in offs),
         bsr.shape,
         b,
+        active,
     )
 
 
 def bdia_matvec_dofmajor(bdia: BDIA, xb):
     """y = A @ x on a dof-major (b, mb) vector (the TPU-fast layout:
-    block-row axis on the lanes).  Unrolled static loops over the b x b
-    block entries — pure shifted elementwise multiply-adds, no einsum
-    (a batched (mb, 2, 2) dot_general pads catastrophically on the MXU)
-    and no gathers."""
+    block-row axis on the lanes).
+
+    A block-banded matrix in dof-major form is exactly a b x b grid of
+    SCALAR banded matrices: y_c = sum_d A^(cd) x_d, each band a 1D
+    shifted multiply-add (the 116 Gnnz/s scalar-DIA pattern).  The loop
+    runs over the static `active` (band, c, d) triples only; everything
+    is 1D — no einsum (a batched (mb, 2, 2) dot_general pads
+    catastrophically on the MXU: 0.97 Gnnz/s captured), no gathers, no
+    2D row-slice relayouts (5.1 Gnnz/s captured for that variant)."""
     b = bdia.block
     mb = xb.shape[1]
-    y = jnp.zeros_like(xb)
-    for k, off in enumerate(bdia.offsets):
-        blk = bdia.data[k]  # (b, b, mb)
-        for c in range(b):
-            for d in range(b):
-                if off == 0:
-                    y = y.at[c].add(blk[c, d] * xb[d])
-                elif off > 0:
-                    y = y.at[c, : mb - off].add(
-                        blk[c, d, : mb - off] * xb[d, off:]
-                    )
-                else:
-                    y = y.at[c, -off:].add(
-                        blk[c, d, -off:] * xb[d, : mb + off]
-                    )
-    return y
+    active = bdia.active or tuple(
+        (k, c, d)
+        for k in range(len(bdia.offsets))
+        for c in range(b)
+        for d in range(b)
+    )
+    ys = [jnp.zeros((mb,), xb.dtype) for _ in range(b)]
+    for k, c, d in active:
+        off = bdia.offsets[k]
+        w = bdia.data[k, c, d]  # (mb,) band
+        xd = xb[d]
+        if off == 0:
+            ys[c] = ys[c] + w * xd
+        elif off > 0:
+            ys[c] = ys[c].at[: mb - off].add(w[: mb - off] * xd[off:])
+        else:
+            ys[c] = ys[c].at[-off:].add(w[-off:] * xd[: mb + off])
+    return jnp.stack(ys)
 
 
 def bdia_matvec(bdia: BDIA, x):
