@@ -550,9 +550,14 @@ def bench_aij_tpu(n_nodes=512, reps=50):
         lambda v: sp.bsr_matvec(bsr, v), x0
     )
     try:  # 2x2 blocks by block-diagonal: the BSR-class TPU fast path
+        # (dof-major chain — production hot loops keep vectors dof-major;
+        # r4 capture 78 Gnnz/s vs 0.015 for the gather BSR path)
         bdia = sp.bsr_to_bdia(bsr)
+        xdm = jnp.asarray(
+            np.ascontiguousarray(np.asarray(x0).reshape(-1, 2).T)
+        )
         out["aij_tpu_bdia_nnz_per_s"] = chain_nnz_per_s(
-            lambda v: sp.bdia_matvec(bdia, v), x0
+            lambda v: sp.bdia_matvec_dofmajor(bdia, v), xdm
         )
     except Exception as e:
         out["aij_tpu_bdia_error"] = repr(e)[:120]
