@@ -17,6 +17,11 @@ Flags follow the reference/PETSc names:
   -A_mat_view -f_vec_view -solution_view     object viewers (ref
                                   SaddlePointProblem.c:20,62-63)
   -mat_stencil_backend {xla,pallas}  SpMV kernel for the stencil operator
+  -mat_type {stencil,aij,dia}     poisson operator storage: stencil planes
+                                  (default, fastest), general-sparse CSR
+                                  (MATAIJ, ref Discretization.c:19 — with
+                                  -dist: DistAIJ = MATMPIAIJ over a 1D
+                                  mesh), or banded DIA
   -dist                           distribute over all attached devices
                                   (SPMD assembly + halo-exchange SpMV)
   -mesh <py,px>                   device-mesh shape for -dist (default:
@@ -86,10 +91,43 @@ def main(argv=None):
 
     body_force = opts.get_str("body_force", "constant")
     backend = opts.get_str("mat_stencil_backend", "xla")
+    mat_type = opts.get_str("mat_type", "stencil")
     distributed = opts.get_bool("dist")
     grid = None
+    aij_n = None  # true row count for -mat_type aij (crop pads for VTK)
     with log.phase("Assembly"):
-        if distributed:
+        if mat_type in ("aij", "dia") and problem_type == "poisson":
+            # MATAIJ route (ref DMSetMatType(MATAIJ), Discretization.c:19):
+            # the SAME assembled system through the general-sparse layer
+            from saddle_point_petsc_tpu.ops import sparse as _sp
+
+            csr, f_flat, mask, coords_a = poisson.assemble_poisson_csr(
+                nex, ney, dtype=dtype
+            )
+            aij_n = csr.shape[0]
+            if distributed:
+                # MATMPIAIJ: row-partitioned over a 1D mesh, banded diag
+                # fast path auto-attached, ghost-only all_to_all scatter
+                from saddle_point_petsc_tpu.parallel import dist_csr
+
+                mesh1 = dist_csr.make_mesh_1d()
+                A = dist_csr.dist_aij_from_scipy(
+                    _sp.csr_to_scipy(csr), mesh1, dtype=str(dtype.__name__)
+                )
+                b = dist_csr.pad_vector(f_flat, A.n_pad, mesh1)
+            elif mat_type == "dia":
+                A, _ = _sp.csr_to_dia(csr)
+                b = f_flat
+            else:
+                A, b = csr, f_flat
+
+            class _AijProb:
+                coords = coords_a
+                f = f_flat
+
+            prob = _AijProb()
+            prob.A = A
+        elif distributed:
             # configs 4-5: SPMD assembly + halo-exchange operators over a
             # device mesh (-mesh py,px overrides PETSC_DECIDE)
             from saddle_point_petsc_tpu.models import fem
@@ -168,7 +206,11 @@ def main(argv=None):
     if not opts.get_bool("no_vtk"):
         path = opts.get_str("vtk", "test.vtk")
         with log.phase("WriteVTK"):
-            if distributed:
+            if aij_n is not None:  # flat MATAIJ solution -> field
+                from saddle_point_petsc_tpu.ops.stencil import flat_to_field
+
+                u = flat_to_field(u[:aij_n], my, mx)
+            elif distributed:
                 u = u[:, :my, :mx]  # crop mesh-divisibility padding
             vtk.write_vtk(path, prob.coords, u)
 

@@ -100,6 +100,9 @@ class CSR:
     def matmat(self, X):
         return csr_matmat(self, X)
 
+    def __call__(self, x):
+        return self.matvec(x)
+
 
 _pytree_dataclass(CSR, ("indptr", "cols", "vals"), ("shape",))
 
@@ -139,6 +142,9 @@ class BSR:
     def matmat(self, X):
         return bsr_matmat(self, X)
 
+    def __call__(self, x):
+        return self.matvec(x)
+
 
 _pytree_dataclass(BSR, ("indptr", "cols", "vals"), ("shape", "block"))
 
@@ -169,6 +175,9 @@ class ELL:
 
     def matmat(self, X):
         return ell_matmat(self, X)
+
+    def __call__(self, x):
+        return self.matvec(x)
 
 
 _pytree_dataclass(ELL, ("cols", "vals"), ("shape",))

@@ -174,6 +174,12 @@ class DistAIJ:
         return self.send_idx.shape[-1]
 
     @property
+    def nnz(self):
+        """Stored entries (ELL slots incl. padding) — throughput/report
+        accounting, same convention as the other containers."""
+        return self.diag_cols.size + self.off_cols.size
+
+    @property
     def ghost_count(self):
         """Per-device ghost-buffer length = comm volume per matvec (in
         elements).  Independent of the global n — the scaling invariant

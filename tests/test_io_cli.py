@@ -214,3 +214,32 @@ def test_ksp_view_option(capsys):
     assert "KSP Object:" in out and "type: cg" in out
     assert "PC Object:" in out and "type: jacobi" in out
     assert int(res.converged_reason) > 0
+
+
+def test_cli_mat_type_aij_matches_stencil(tmp_path, capsys):
+    """-mat_type {aij,dia} (MATAIJ / MATMPIAIJ with -dist, ref
+    DMSetMatType(MATAIJ) Discretization.c:19) solves the same system:
+    identical iterate counts and matching VTK output vs the stencil
+    route."""
+    from saddle_point_petsc_tpu import cli
+
+    base = ["-da_grid_x", "17", "-da_grid_y", "17", "-ksp_type", "cg",
+            "-pc_type", "jacobi", "-ksp_rtol", "1e-10"]
+
+    def run(extra, name):
+        path = tmp_path / name
+        rc = cli.main(base + extra + ["-vtk", str(path)])
+        out = capsys.readouterr().out
+        assert rc == 0
+        import re
+
+        its = int(re.search(r"its=(\d+)", out).group(1))
+        return its, path.read_bytes()
+
+    its_s, vtk_s = run([], "stencil.vtk")
+    its_a, vtk_a = run(["-mat_type", "aij"], "aij.vtk")
+    its_d, vtk_d = run(["-mat_type", "dia"], "dia.vtk")
+    its_m, vtk_m = run(["-mat_type", "aij", "-dist"], "mpiaij.vtk")
+    assert its_a == its_d == its_m  # same matrix, same Krylov
+    assert abs(its_a - its_s) <= 2  # stencil assembly roundoff tolerance
+    assert vtk_a == vtk_d == vtk_m
