@@ -417,6 +417,19 @@ def bench_refined_kkt_dist(
             )
             return res.x, res.iterations
 
+    elif inner_kind == "minres-mg":
+        # MG V-cycle as the A-block inner of the diag-fact Schur PC
+        # under MINRES: SPD (MG symmetric), 3-term recurrence — none of
+        # the FGMRES(30) basis memory that OOM-crashed the worker at
+        # 2241² — and MG-class iteration counts instead of diag-Schur's
+        # ~1400/cycle
+        from saddle_point_petsc_tpu.solvers.multigrid import mg_pc_dist
+
+        Md = precond.schur_pc(
+            Ad, Bf_dd.hi,
+            mg_pc_dist(Ad, smoother="chebyshev"),
+            fact_type="diag",
+        )
     else:
         Md = precond.schur_pc(Ad, Bf_dd.hi, fact_type="diag")
     run = refine.solve_refined_kkt_fused(

@@ -356,7 +356,10 @@ def mg_pc(
         levels.append(MGLevel(op, sm, post))
         op = galerkin_coarse_stencil(op)
     cny, cnx = op.grid_shape
-    if cny * cnx * 2 > 32768:
+    # 8192-dof cap: the old 32768 admitted a 4.3 GB dense inverse whose
+    # LAPACK call SEGFAULTS (n^2 exceeds 32-bit workspace indexing) —
+    # e.g. any even node count, which never coarsens at all
+    if cny * cnx * 2 > 8192:
         raise ValueError(
             f"mg_pc: coarsest level is {cny}x{cnx} nodes "
             f"({cny * cnx * 2} dofs) — too large for a dense coarse solve. "
