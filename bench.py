@@ -850,9 +850,15 @@ def main():
     # host assembly + compile + 40 s solve on the chip) so a deadline
     # fire can only cost these keys, never the headline
     try:
+        # minres-mg inner: the r4 shootout on the chip put the
+        # crossover between the diag-Schur and MG-Schur inners between
+        # 1M and 10M rows (994k: diag 0.80 s vs mg 1.31; 10.04M: mg
+        # 19.4 s vs diag 38.6 — V-cycle fixed costs amortize, iteration
+        # counts dominate: 35 total inner its vs 11,204)
         t5, cyc5, its5, rrel5, rows5, nnz5 = bench_refined_kkt_dist(
             n_nodes=int(os.environ.get("BENCH_C5_N", "2241")),
             inner_maxiter=20000, return_nnz=True,
+            inner_kind="minres-mg",
         )
         out.update(
             config5_s=t5,
