@@ -370,3 +370,23 @@ def test_dist_gamg_stream_1m_rows():
     rrel = float(np.linalg.norm(a @ x - b) / np.linalg.norm(b))
     assert rrel < 1e-7
     assert int(res.iterations) <= 60  # AMG-class at 1M rows
+
+
+def test_gamg_dia_backend_option_parity():
+    """-mat_dia_backend pallas routes banded levels through the 2D
+    kernel with iterate parity vs the XLA backend (chip capture:
+    bit-identical; interpret mode here)."""
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    a = poisson2d(24).astype(np.float64)
+    Mx = amg_pc(a, opts=Options(["-mat_dia_backend", "xla"]),
+                coarse_max=100, dtype=jnp.float64)
+    Mp = amg_pc(a, opts=Options(["-mat_dia_backend", "pallas"]),
+                coarse_max=100, dtype=jnp.float64)
+    assert any(
+        getattr(l.A, "backend", None) == "pallas" for l in Mp.levels
+    )
+    its_x, rrel_x, _ = _solve(a, Mx, maxiter=60)
+    its_p, rrel_p, res = _solve(a, Mp, maxiter=60)
+    assert int(res.converged_reason) > 0 and rrel_p < 1e-7
+    assert abs(its_p - its_x) <= 1
