@@ -116,7 +116,14 @@ def main(argv=None):
                 )
                 b = dist_csr.pad_vector(f_flat, A.n_pad, mesh1)
             elif mat_type == "dia":
+                import dataclasses as _dc
+
                 A, _ = _sp.csr_to_dia(csr)
+                # honor -mat_dia_backend on this route too (it was only
+                # plumbed through amg_pc level operators before)
+                A = _dc.replace(
+                    A, backend=opts.get_str("mat_dia_backend", A.backend)
+                )
                 b = f_flat
             else:
                 A, b = csr, f_flat

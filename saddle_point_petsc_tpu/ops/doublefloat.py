@@ -118,6 +118,40 @@ def df_mul(x: DF, y: DF) -> DF:
     return DF(hi, lo)
 
 
+def df_mul_f(x: DF, s) -> DF:
+    """DF * f32 (array or scalar) -> DF (error ~2 ulp of the df format)."""
+    p, e = two_prod(x.hi, s)
+    e = e + x.lo * s
+    hi, lo = fast_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_div(x: DF, y: DF) -> DF:
+    """Double-float division by one long-division step (~4 ulp df).
+
+    q1 = fl(x.hi / y.hi); r = x - q1*y computed exactly in df; the
+    correction q2 = fl(r / y.hi) refines to full df accuracy.  Needed by
+    the on-device assembly path (Jacobian inversion, models/fem.py
+    grad_shape_physical in df arithmetic).
+    """
+    q1 = x.hi / y.hi
+    r = df_sub(x, df_mul_f(y, q1))
+    q2 = (r.hi + r.lo) / y.hi
+    hi, lo = fast_two_sum(q1, q2)
+    return DF(hi, lo)
+
+
+def df_where(cond, x: DF, y: DF) -> DF:
+    """Elementwise select on df pairs (exact)."""
+    return DF(jnp.where(cond, x.hi, y.hi), jnp.where(cond, x.lo, y.lo))
+
+
+def df_const(v, dtype=jnp.float32) -> DF:
+    """Host-side: split python/np float64 scalars or arrays into DF
+    (exact f64 -> hi+lo decomposition; setup-time only)."""
+    return df_from_f64(np.asarray(v, np.float64))
+
+
 def df_planes_matvec(planes_df: DF, x_df: DF) -> DF:
     """Compensated stencil matvec: y = A x with A, x double-float.
 

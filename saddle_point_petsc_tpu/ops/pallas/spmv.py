@@ -16,11 +16,14 @@ Kernels, matching the production formats:
 - `dia_spmv_pallas_2d`: DIA (banded) SpMV on a 2D (rows, 128) view of
   the vector — per-diagonal row shifts + lane rotates, no gathers or
   index arrays (see ops/sparse.py DIA for the RCM-reordering route that
-  makes arbitrary matrices banded).  Production DIA kernel: measured
-  165 Gnnz/s on v5e vs 116 for the XLA DIA lowering (262k-row 5-point
-  operator, r4 capture).  The 1D `dia_spmv_pallas` predecessor computed
-  on (1, bn) blocks — one of eight sublanes live — and measured 10.4;
-  kept as the reference schedule.
+  makes arbitrary matrices banded).  Production DIA kernel: 154.7
+  Gnnz/s on v5e vs 119.2 for the XLA DIA lowering (262k-row 5-point
+  operator, committed BENCH_r04.json; a standalone r4 run read 165/116).
+  The x windows stream HBM->VMEM with double-buffered DMA, so VMEM use
+  is O(rb) rows and the kernel scales to multi-million-row operators.
+  The 1D `dia_spmv_pallas` predecessor computed on (1, bn) blocks — one
+  of eight sublanes live — and measured 10.4; kept as the reference
+  schedule.
 
 All kernels use only static shapes/offsets and run in interpret mode on CPU
 for testing.  The XLA stencil path (ops/stencil.py) measures ~102% of the
@@ -196,7 +199,7 @@ def ell_transpose(ell):
 
 
 def _dia2d_kernel(
-    x2_ref, data_ref, o_ref, *, offsets, rb, span, pad_top
+    x2_hbm, data_ref, o_ref, x_win, sems, *, offsets, rb, span, pad_top
 ):
     """DIA SpMV on a 2D (rows, 128) view of the vector.
 
@@ -208,12 +211,35 @@ def _dia2d_kernel(
     rows with an r-lane rotate across the row boundary — all eight
     sublanes live, shift-only, no gathers.
 
-    x2_ref: (Rp, 128) padded 2D view in VMEM (pad_top leading zero rows)
+    x2_hbm: (Rp, 128) padded 2D view in HBM/ANY; the per-step
+    (rb+span, 128) windows are fetched with manually double-buffered
+    async DMA (BlockSpec cannot express overlapping blocks), so VMEM
+    holds only O(rb) rows of x and the kernel scales to multi-million-
+    row operators (the r4 schedule pinned the whole vector in VMEM and
+    stopped fitting ~4M rows — ADVICE r4).
     data_ref: (ndiag, rb, 128) block of the same 2D view of each band
-    o_ref: (rb, 128)
+    o_ref: (rb, 128); x_win: (2, rb+span, 128) double buffer
     """
     i = pl.program_id(0)
-    w = x2_ref[pl.ds(i * rb, rb + span), :]  # value-level window load
+    nsteps = pl.num_programs(0)
+
+    def win_dma(slot, step):
+        return pltpu.make_async_copy(
+            x2_hbm.at[pl.ds(step * rb, rb + span), :],
+            x_win.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        win_dma((i + 1) % 2, i + 1).start()
+
+    win_dma(i % 2, i).wait()
+    w = x_win[i % 2]  # (rb+span, 128)
     data = data_ref[:]
     acc = jnp.zeros((rb, 128), data.dtype)
     # group diagonals by lane remainder r so each rolled window is
@@ -273,7 +299,7 @@ def dia_spmv_pallas_2d(data, x, offsets, rb=256, interpret=False):
         out_shape=jax.ShapeDtypeStruct((grid[0] * rb, 128), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x2 stays in HBM
             pl.BlockSpec(
                 (data.shape[0], rb, 128),
                 lambda i: (0, i, 0),
@@ -283,6 +309,10 @@ def dia_spmv_pallas_2d(data, x, offsets, rb=256, interpret=False):
         out_specs=pl.BlockSpec(
             (rb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rb + span, 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(x2, d2)
     return out.reshape(-1)[:n]

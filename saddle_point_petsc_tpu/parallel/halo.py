@@ -102,6 +102,54 @@ def halo_exchange_1phase(x, axes=(GY, GX)):
     return jnp.concatenate([row_lo, mid, row_hi], axis=-2)
 
 
+def halo_add_df(xp, axes=(GY, GX)):
+    """Compensated (double-float) adjoint halo fold: `halo_add` on a DF
+    pair with the ghost accumulations done as error-free df additions.
+
+    Plain halo_add on (hi, lo) separately would drop the rounding error
+    of the hi+hi ghost folds (~1 f32 ulp, 6e-8 relative) exactly at
+    patch-boundary nodes — defeating the ~1e-14 accuracy the device-side
+    df assembly path (models/assemble_df.py) exists to provide.  Ships
+    hi and lo ghost slabs (2 ppermutes per direction per component;
+    assembly is setup-time) and folds with two_sum chains.
+    """
+    from saddle_point_petsc_tpu.ops.doublefloat import DF, df_add
+
+    ay, ax = axes
+    ny_dev = lax.axis_size(ay)
+    nx_dev = lax.axis_size(ax)
+    hi, lo = xp
+
+    def ship(h, l, axis_name, direction, n):
+        perm = _shift_perm(n, direction)
+        return DF(
+            lax.ppermute(h, axis_name, perm),
+            lax.ppermute(l, axis_name, perm),
+        )
+
+    # phase 1: y-direction
+    from_below = ship(hi[..., -1:, :], lo[..., -1:, :], ay, +1, ny_dev)
+    from_above = ship(hi[..., :1, :], lo[..., :1, :], ay, -1, ny_dev)
+    hi_w, lo_w = hi[..., 1:-1, :], lo[..., 1:-1, :]
+    r = df_add(DF(hi_w[..., :1, :], lo_w[..., :1, :]), from_below)
+    hi_w = hi_w.at[..., :1, :].set(r.hi)
+    lo_w = lo_w.at[..., :1, :].set(r.lo)
+    r = df_add(DF(hi_w[..., -1:, :], lo_w[..., -1:, :]), from_above)
+    hi_w = hi_w.at[..., -1:, :].set(r.hi)
+    lo_w = lo_w.at[..., -1:, :].set(r.lo)
+    # phase 2: x-direction on the y-folded block
+    from_left = ship(hi_w[..., :, -1:], lo_w[..., :, -1:], ax, +1, nx_dev)
+    from_right = ship(hi_w[..., :, :1], lo_w[..., :, :1], ax, -1, nx_dev)
+    hi_c, lo_c = hi_w[..., :, 1:-1], lo_w[..., :, 1:-1]
+    r = df_add(DF(hi_c[..., :, :1], lo_c[..., :, :1]), from_left)
+    hi_c = hi_c.at[..., :, :1].set(r.hi)
+    lo_c = lo_c.at[..., :, :1].set(r.lo)
+    r = df_add(DF(hi_c[..., :, -1:], lo_c[..., :, -1:]), from_right)
+    hi_c = hi_c.at[..., :, -1:].set(r.hi)
+    lo_c = lo_c.at[..., :, -1:].set(r.lo)
+    return DF(hi_c, lo_c)
+
+
 def halo_add(xp, axes=(GY, GX)):
     """Adjoint of halo_exchange: fold the 1-ring ghost accumulations of a
     padded (..., my+2, mx+2) block back onto their owners; returns the

@@ -737,8 +737,20 @@ def dist_amg_pc(
             lvl, next_dev, Ac = out
             levels.append(lvl)
             cur_dev, cur_sp = next_dev, Ac
-        if cur_sp is None:  # input already at/below coarse_max
-            cur_sp = A.to_scipy().tocsr()
+        if cur_sp is None:
+            # No streaming level was built.  Only materialize the global
+            # matrix if a dense coarse solve of it is actually possible;
+            # otherwise the 'never materializes the global matrix'
+            # contract would break exactly in the failure case
+            # (aggregation stalled on the first level).
+            if cur_dev.shape[0] > _COARSE_HARD_CAP:
+                raise ValueError(
+                    "dist_amg_pc(setup='stream'): aggregation produced no "
+                    f"coarsening at {cur_dev.shape[0]} rows (> dense-solve "
+                    f"cap {_COARSE_HARD_CAP}); lower -pc_gamg_threshold or "
+                    "raise -pc_gamg_coarse_eq_limit"
+                )
+            cur_sp = A.to_scipy().tocsr()  # small: dense solve is valid
         n_c = cur_sp.shape[0]
         dense = np.eye(cur_dev.n_pad)
         dense[:n_c, :n_c] = _coarse_inv_np(cur_sp)

@@ -279,6 +279,105 @@ def cg(
     return KrylovResult(x, it, rnorm, bnorm, history, reason)
 
 
+def _kdot(x, y):
+    """Per-column dot over a leading-k batch: (k, ...) -> (k,)."""
+    return jnp.sum(
+        (x * y).reshape(x.shape[0], -1), axis=1
+    )
+
+
+def _kax(a, x, y):
+    """y + a[k] * x with a (k,) broadcast over trailing dims."""
+    return y + a.reshape((-1,) + (1,) * (x.ndim - 1)) * x
+
+
+@_self_jitting("maxiter", "monitor")
+def cg_multi(
+    A: Callable,
+    B,
+    M: Optional[Callable] = None,
+    x0=None,
+    rtol=1e-5,
+    atol=1e-50,
+    dtol=1e5,
+    maxiter=10000,
+    monitor=False,
+):
+    """Pseudo-block CG over k right-hand sides — KSPMatSolve semantics.
+
+    A and M are BATCHED callables mapping (k, ...) -> (k, ...): the
+    operator's SpMM path (StencilOperator.matmat_field /
+    DistStencilOperator.matmat_field — one operator stream amortized
+    over all k columns, one halo exchange per iteration for all k in
+    the distributed case).  Each column runs its own CG recurrence
+    (independent alpha/beta per column, exactly PETSc's pseudo-block
+    KSPMatSolve); the loop stops when EVERY column converged.  This is
+    the production consumer of the SpMM kernels the north star pairs
+    with SpMV ("distributed SpMV/SpMM as Pallas kernels").
+
+    Returns a KrylovResult whose x is the (k, ...) solution batch and
+    whose rnorm/bnorm/reason are (k,) vectors; `iterations` is the
+    iteration count of the slowest column.
+    """
+    if M is None:
+        M = _identity
+    if x0 is None:
+        x0 = jnp.zeros_like(B)
+
+    R = B - A(x0)
+    Z = M(R)
+    rz = _kdot(R, Z)
+    Zb = M(B)
+    bnorm = jnp.sqrt(_kdot(Zb, Zb))
+    rnorm = jnp.sqrt(_kdot(Z, Z))
+    k = B.shape[0]
+    history = (
+        jnp.full((maxiter + 1, k), -1.0, rnorm.dtype).at[0].set(rnorm)
+    )
+    tiny = jnp.asarray(atol, rnorm.dtype)
+    done0 = rnorm <= jnp.maximum(rtol * bnorm, tiny)
+
+    def cond(state):
+        return ~jnp.all(state[7])
+
+    def body(state):
+        X, R, Z, P, rz, it, history, done, reason = state
+        W = A(P)
+        pw = _kdot(P, W)
+        alpha = jnp.where(done, 0.0, rz / jnp.where(pw == 0, 1.0, pw))
+        X = _kax(alpha, P, X)
+        R = _kax(-alpha, W, R)
+        Z = M(R)
+        rz_new = _kdot(R, Z)
+        beta = jnp.where(done, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+        P = _kax(beta, P, Z)
+        it = it + 1
+        rnorm = jnp.sqrt(_kdot(Z, Z))
+        history = history.at[it].set(rnorm)
+        _monitor_print(monitor, it, jnp.max(rnorm))
+        conv = rnorm <= jnp.maximum(rtol * bnorm, tiny)
+        div = (rnorm > dtol * bnorm) | ~jnp.isfinite(rnorm) | (pw <= 0.0)
+        newly = ~done
+        reason = jnp.where(
+            newly & conv, CONVERGED_RTOL,
+            jnp.where(newly & div, DIVERGED_NULL, reason),
+        )
+        done = done | conv | div | (it >= maxiter)
+        reason = jnp.where(
+            done & (reason == 0), DIVERGED_ITS, reason
+        )
+        return (X, R, Z, P, rz_new, it, history, done, reason)
+
+    reason0 = jnp.where(done0, CONVERGED_RTOL, jnp.int32(0))
+    state = (
+        x0, R, Z, Z, rz, jnp.int32(0), history, done0, reason0
+    )
+    X, R, Z, P, rz, it, history, done, reason = lax.while_loop(
+        cond, body, state
+    )
+    return KrylovResult(X, it, history[it], bnorm, history, reason)
+
+
 # ---------------------------------------------------------------------------
 # MINRES
 # ---------------------------------------------------------------------------

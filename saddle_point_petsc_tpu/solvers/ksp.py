@@ -280,6 +280,33 @@ class KSP:
             )
         return "\n".join(lines)
 
+    def mat_solve(self, B, x0=None) -> krylov.KrylovResult:
+        """Solve A X = B for a batch of right-hand sides (k leading axis)
+        — PETSc KSPMatSolve.  Runs the pseudo-block CG over the
+        operator's SpMM path (`matmat_field`), so the operator is
+        streamed ONCE per iteration for all k columns (and, distributed,
+        one halo exchange ships every column's ghosts together)."""
+        if self.M is None:
+            self.set_up()
+        if self.ksp_type != "cg":
+            raise ValueError(
+                "mat_solve currently implements the pseudo-block CG "
+                f"(KSPMatSolve) path only; got ksp_type={self.ksp_type}"
+            )
+        import jax as _jax
+
+        A = self.A
+        Ab = (
+            A.matmat_field
+            if hasattr(A, "matmat_field")
+            else _jax.vmap(A)
+        )
+        Mb = _jax.vmap(self.M) if self.M is not None else None
+        return krylov.cg_multi(
+            Ab, B, M=Mb, x0=x0, rtol=self.rtol, atol=self.atol,
+            dtol=self.dtol, maxiter=self.max_it,
+        )
+
     def solve(self, b, x0=None) -> krylov.KrylovResult:
         if self.M is None:
             self.set_up()

@@ -134,3 +134,50 @@ def test_dist_aij_matmat(rng):
     Xs = dist_csr.pad_vector(X, A.n_pad, mesh)
     Y = np.asarray(A.matmat(Xs))[:37]
     np.testing.assert_allclose(Y, a.toarray() @ X, rtol=1e-11)
+
+
+def test_cg_multi_matches_per_column_cg(rng):
+    """Pseudo-block CG (KSPMatSolve, the SpMM production consumer) vs k
+    independent CG solves on the stencil-form saddle operator."""
+    from saddle_point_petsc_tpu.models import poisson
+    from saddle_point_petsc_tpu.solvers import krylov, precond
+
+    prob = poisson.assemble_poisson(10, 10, dtype=jnp.float64)
+    A = prob.A
+    k = 3
+    B = jnp.stack(
+        [prob.f * (i + 1.0) for i in range(k)]
+    )  # (k, 2, ny, nx)
+    Mj = precond.jacobi(A)
+    res = krylov.cg_multi(
+        A.matmat_field, B, M=lambda R: jnp.stack([Mj(r) for r in R]),
+        rtol=1e-10, maxiter=300,
+    )
+    assert np.all(np.asarray(res.converged_reason) > 0)
+    for i in range(k):
+        ref = krylov.cg(A, B[i], M=Mj, rtol=1e-10, maxiter=300)
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(ref.x), rtol=1e-6, atol=1e-9
+        )
+
+
+def test_ksp_mat_solve(rng):
+    """KSP.mat_solve drives the operator's matmat_field end-to-end."""
+    import jax
+
+    from saddle_point_petsc_tpu.models import poisson
+    from saddle_point_petsc_tpu.solvers.ksp import KSP
+    from saddle_point_petsc_tpu.utils.options import Options
+
+    prob = poisson.assemble_poisson(10, 10, dtype=jnp.float64)
+    B = jnp.stack([prob.f, 2.0 * prob.f])
+    ksp = KSP(Options(["-ksp_type", "cg", "-pc_type", "jacobi",
+                       "-ksp_rtol", "1e-10"]))
+    ksp.set_operators(prob.A).set_from_options().set_up()
+    res = ksp.mat_solve(B)
+    assert np.all(np.asarray(res.converged_reason) > 0)
+    # residual check against the operator
+    R = B - prob.A.matmat_field(res.x)
+    rel = float(jnp.linalg.norm(R.reshape(2, -1), axis=1).max()
+                / jnp.linalg.norm(B.reshape(2, -1), axis=1).max())
+    assert rel < 1e-8
