@@ -24,6 +24,14 @@ def _sync_scalar(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
+def _sync_reduce(x):
+    """Synchronize on a LARGE device array without shipping it through
+    the tunnel: fetch a device-side scalar reduction (the tunnel
+    transfers np.asarray'd arrays at ~30 MB/s — fetching a 723 MB
+    planes array would bill ~20 s of pure transfer to the timing)."""
+    return float(np.asarray(jnp.sum(x)))
+
+
 def _timed(fn, *args):
     t0 = time.perf_counter()
     out = fn(*args)
@@ -277,6 +285,12 @@ def bench_refined_kkt_bsr(n_nodes=257, rtol=1e-8):
     K32 = SaddleOperator(A32, Bf_df.hi)
     bsr = sp.csr_to_bsr(sp.scipy_to_csr(a32), block=2)
     bdia = sp.bsr_to_bdia(bsr)
+    if jax.default_backend() == "tpu":
+        # 2D block kernel: 140.7 vs 71.4 Gnnz/s for the XLA chains
+        # (r5 chip capture) — interpret mode would crawl on CPU
+        import dataclasses as _dc
+
+        bdia = _dc.replace(bdia, backend="pallas")
     B = jnp.asarray(B32)
     d = sp.csr_extract_diagonal(sp.scipy_to_csr(a32))
     dinv = 1.0 / jnp.where(d == 0, 1.0, d)
@@ -342,6 +356,54 @@ def bench_refined_kkt_bsr(n_nodes=257, rtol=1e-8):
     )
 
 
+def bench_refined_kkt_config2(rtol=1e-8):
+    """BASELINE config 2 exactly as worded, on the chip, to the
+    north-star tolerance: 64x64 KKT, GMRES(30) outer with the full-Schur
+    fieldsplit PC (diag(A)-based Schur complement), composed with
+    double-float residual refinement (VERDICT r4 next #7: the only
+    worded config never captured on TPU — r2 captured it on CPU f64).
+
+    The df operator comes from the DEVICE df assembly (assemble_saddle_df
+    on a 1x1 mesh) — no host f64 anywhere in this config."""
+    from saddle_point_petsc_tpu.models.assemble_df import (
+        assemble_saddle_df,
+    )
+    from saddle_point_petsc_tpu.ops.stencil import StencilOperator
+    from saddle_point_petsc_tpu.solvers import krylov, precond, refine
+    from saddle_point_petsc_tpu.solvers.operators import SaddleOperator
+
+    (planes_df, Bf_df, f_df, g_df, _mask), _grid = assemble_saddle_df(
+        64, 64, body_force="trig"
+    )
+    A32 = StencilOperator(planes_df.hi)
+    K32 = SaddleOperator(A32, Bf_df.hi)
+    M = precond.schur_pc(A32, Bf_df.hi, fact_type="full")
+
+    def inner(ru, rlam, ops):
+        Kt, Mt = ops
+        res = krylov.gmres(
+            Kt, (ru, rlam), M=Mt, rtol=1e-3, maxiter=400, restart=30
+        )
+        return res.x, res.iterations
+
+    run = refine.solve_refined_kkt_fused(
+        K32, (f_df, g_df), rtol=rtol, planes_df=planes_df, Bf_df=Bf_df,
+        inner=inner, inner_operands=(K32, M),
+    )
+    _sync_scalar(run()[3])  # compile + warm
+    t0 = time.perf_counter()
+    out = run()
+    _sync_scalar(out[3])
+    dt = time.perf_counter() - t0
+    x, cycles, inner_its, rn_, bn = jax.device_get(out)
+    t1 = time.perf_counter()
+    _sync_scalar(out[4])
+    base = time.perf_counter() - t1
+    return max(dt - base, 1e-9), int(cycles), int(inner_its), float(
+        rn_ / bn
+    )
+
+
 def bench_refined_kkt_dist(
     n_nodes=705, rtol=1e-8, inner_maxiter=6000, return_nnz=False,
     inner_kind="minres-diag", assemble="host", out=None,
@@ -384,13 +446,13 @@ def bench_refined_kkt_dist(
         planes_dd, Bf_dd, f_dd, b_df1, _m = assemble_saddle_dist_df(
             grid, "trig"
         )
-        _sync_scalar(planes_dd.hi)
+        _sync_reduce(planes_dd.hi)
         t_total = time.perf_counter() - t0
         t0 = time.perf_counter()
         planes_dd, Bf_dd, f_dd, b_df1, _m = assemble_saddle_dist_df(
             grid, "trig"
         )
-        _sync_scalar(planes_dd.hi)
+        _sync_reduce(planes_dd.hi)
         t_asm = time.perf_counter() - t0
         if out is not None:
             out["assemble_s"] = t_asm
@@ -604,8 +666,47 @@ def bench_aij_tpu(n_nodes=512, reps=50):
         out["aij_tpu_bdia_nnz_per_s"] = chain_nnz_per_s(
             lambda v: sp.bdia_matvec_dofmajor(bdia, v), xdm
         )
+        import dataclasses as _dc
+
+        bdia_p = _dc.replace(bdia, backend="pallas")
+        out["aij_tpu_bdia_pallas_nnz_per_s"] = chain_nnz_per_s(
+            lambda v: sp.bdia_matvec_dofmajor(bdia_p, v), xdm
+        )
     except Exception as e:
         out["aij_tpu_bdia_error"] = repr(e)[:120]
+    # raw gather ceiling (VERDICT r4 missing #2): ELL costs one gathered
+    # x element per stored nnz, so the dependent-chain throughput of
+    # jnp.take with a random index vector IS the roofline for any
+    # gather-based irregular-sparse path on this chip.  Captured as
+    # elements/s; compare aij_tpu_ell_nnz_per_s against it (the ELL rate
+    # matching the ceiling proves the format, not the kernel, is the
+    # bottleneck — see ops/pallas/spmv.py ell_spmv_pallas docstring and
+    # benchmarks/RESULTS.md "gather ceiling").
+    perm = np.random.default_rng(1).permutation(a.shape[0]).astype(
+        np.int32
+    )
+    idxg = jnp.asarray(perm)
+
+    @jax.jit
+    def gather_chain(x, idx, r):
+        def body(i, v):
+            return jnp.take(v, idx)
+
+        return jnp.sum(jax.lax.fori_loop(0, r, body, x))
+
+    _timed(gather_chain, x0, idxg, 1)
+    rg = reps
+    while True:
+        t1g = min(_timed(gather_chain, x0, idxg, rg) for _ in range(2))
+        t2g = min(
+            _timed(gather_chain, x0, idxg, 2 * rg) for _ in range(2)
+        )
+        if t2g - t1g > 0.02 or rg >= 200_000:
+            break
+        rg *= 8
+    out["aij_tpu_gather_elems_per_s"] = a.shape[0] / (
+        max(t2g - t1g, 1e-9) / rg
+    )
     mesh = dist_csr.make_mesh_1d()
     # production path (dia="auto" attaches the banded diag-block fast
     # path); the pure-ELL variant is kept for the before/after record
@@ -870,8 +971,10 @@ _KEY_ORDER = (
     "kkt_rtol1e8_inner_kind", "kkt_rtol1e8_rel_rnorm",
     "kkt_rtol1e8_dist_rows", "kkt_rtol1e8_dist_cycles",
     "kkt_rtol1e8_dist_rel_rnorm", "kkt_rtol1e8_dist_s",
-    "aij_tpu_rows", "aij_tpu_ell_nnz_per_s", "aij_tpu_csr_nnz_per_s",
+    "aij_tpu_rows", "aij_tpu_gather_elems_per_s",
+    "aij_tpu_ell_nnz_per_s", "aij_tpu_csr_nnz_per_s",
     "aij_tpu_bsr_nnz_per_s", "aij_tpu_bdia_nnz_per_s",
+    "aij_tpu_bdia_pallas_nnz_per_s",
     "aij_tpu_dia_nnz_per_s",
     "aij_tpu_dia_pallas_nnz_per_s", "aij_tpu_distaij_ell_nnz_per_s",
     "aij_tpu_distaij_format", "aij_tpu_distaij_nnz_per_s",
@@ -879,6 +982,7 @@ _KEY_ORDER = (
     "spmm_k", "spmm_stencil_nnz_per_s", "spmm_dia_nnz_per_s",
     "spmm_bdia_nnz_per_s", "spmm_dist_nnz_per_s", "spmm_nnz_per_s",
     "gamg_rows", "gamg_its", "gamg_setup_s", "gamg_solve_s",
+    "config2_rtol1e8_s", "config2_rtol1e8_rel_rnorm",
     "config3_seconds", "config3_iterations", "config3_rel_rnorm",
     "config3_rtol1e8_s", "config3_rtol1e8_rel_rnorm",
     "config4_seconds", "config4_iterations", "config4_rel_rnorm",
@@ -1074,6 +1178,17 @@ def main():
         out.update({f"config3_{k}": v for k, v in c3.items()})
     except Exception as e:
         out["config3_error"] = repr(e)[:160]
+    # config 2 as worded + df refinement, on the chip (VERDICT r4 next #7)
+    try:
+        t2c, cyc2, its2, rrel2 = bench_refined_kkt_config2()
+        out.update(
+            config2_rtol1e8_s=t2c,
+            config2_rtol1e8_rel_rnorm=rrel2,
+            config2_cycles=cyc2,
+            config2_inner_its=its2,
+        )
+    except Exception as e:
+        out["config2_error"] = repr(e)[:160]
     # config 3 as worded + df refinement: BSR KKT to a TRUE rtol 1e-8
     try:
         t3, cyc3, its3, rrel3 = bench_refined_kkt_bsr()

@@ -1,0 +1,31 @@
+import json, time, sys
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+import numpy as np
+
+def syncs(x):  # fetch a SCALAR (device-side reduction), not the array
+    return float(np.asarray(jnp.sum(x)))
+
+probe = jnp.ones((128,128)) @ jnp.ones((128,128)); syncs(probe)
+from saddle_point_petsc_tpu.models.assemble_df import assemble_saddle_dist_df
+from saddle_point_petsc_tpu.parallel import dist
+from saddle_point_petsc_tpu.parallel.mesh import make_mesh
+
+mesh = make_mesh()
+res = {}
+for method in ("separable", "element"):
+    for n_nodes in (2241,):
+        grid = dist.DistGrid.create(n_nodes-1, n_nodes-1, mesh)
+        t0=time.perf_counter()
+        out = assemble_saddle_dist_df(grid, "trig", method=method)
+        syncs(out[0].hi)
+        t_tot = time.perf_counter()-t0
+        tw=[]
+        for _ in range(3):
+            t0=time.perf_counter()
+            out = assemble_saddle_dist_df(grid, "trig", method=method)
+            syncs(out[0].hi)
+            tw.append(time.perf_counter()-t0)
+        res[f"{method}_{n_nodes}_total_s"] = round(t_tot,2)
+        res[f"{method}_{n_nodes}_warm_s"] = round(min(tw),3)
+        print(json.dumps(res), flush=True)

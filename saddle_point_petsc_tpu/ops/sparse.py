@@ -664,6 +664,11 @@ class BDIA:
     # matvec loops over exactly these, each a 1D shifted multiply-add
     # (empty tuple = treat every triple as active)
     active: tuple = ()
+    # "xla" (b^2 scalar-banded 1D chains) or "pallas" (2D row-shift +
+    # lane-rotate block kernel, ops/pallas/spmv.py bdia_spmv_pallas_2d
+    # — shares each rolled x window across the block row, closing the
+    # ~1.6x block tax of the XLA chains).  -mat_bdia_backend selects.
+    backend: str = "xla"  # static
 
     @property
     def nnz(self):
@@ -700,7 +705,9 @@ class BDIA:
         return jnp.zeros((self.shape[0],), self.data.dtype)
 
 
-_pytree_dataclass(BDIA, ("data",), ("offsets", "shape", "block", "active"))
+_pytree_dataclass(
+    BDIA, ("data",), ("offsets", "shape", "block", "active", "backend")
+)
 
 
 def bsr_to_bdia(bsr: BSR, max_diag_blowup=4.0, max_diags=256) -> BDIA:
@@ -752,7 +759,10 @@ def bdia_matvec_dofmajor(bdia: BDIA, xb):
     runs over the static `active` (band, c, d) triples only; everything
     is 1D — no einsum (a batched (mb, 2, 2) dot_general pads
     catastrophically on the MXU: 0.97 Gnnz/s captured), no gathers, no
-    2D row-slice relayouts (5.1 Gnnz/s captured for that variant)."""
+    2D row-slice relayouts (5.1 Gnnz/s captured for that variant).
+
+    backend="pallas" routes through the 2D block kernel
+    (ops/pallas/spmv.py bdia_spmv_pallas_2d)."""
     b = bdia.block
     mb = xb.shape[1]
     active = bdia.active or tuple(
@@ -761,6 +771,17 @@ def bdia_matvec_dofmajor(bdia: BDIA, xb):
         for c in range(b)
         for d in range(b)
     )
+    if bdia.backend == "pallas":
+        import jax as _jax
+
+        from saddle_point_petsc_tpu.ops.pallas.spmv import (
+            bdia_spmv_pallas_2d,
+        )
+
+        return bdia_spmv_pallas_2d(
+            bdia.data, xb, bdia.offsets, active,
+            interpret=_jax.default_backend() != "tpu",
+        )
     ys = [jnp.zeros((mb,), xb.dtype) for _ in range(b)]
     for k, c, d in active:
         off = bdia.offsets[k]

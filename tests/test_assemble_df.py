@@ -47,11 +47,12 @@ def _relerr(a, b):
     return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-30)
 
 
+@pytest.mark.parametrize("method", ["separable", "element"])
 @pytest.mark.parametrize("body_force", ["trig", "constant"])
-def test_serial_df_assembly_matches_f64(body_force):
+def test_serial_df_assembly_matches_f64(body_force, method):
     p64, f64v, B64, m64 = _oracle(12, 12, body_force)
     (planes_df, Bf_df, f_df, g_df, mask), _ = assemble_saddle_df(
-        12, 12, body_force=body_force
+        12, 12, body_force=body_force, method=method
     )
     assert _relerr(df_to_f64(planes_df), p64) < 1e-12
     assert _relerr(df_to_f64(f_df), f64v) < 1e-12
@@ -60,14 +61,15 @@ def test_serial_df_assembly_matches_f64(body_force):
     assert np.all(np.asarray(g_df.hi) == 0.0)
 
 
-def test_dist_df_assembly_matches_f64_with_padding():
+@pytest.mark.parametrize("method", ["separable", "element"])
+def test_dist_df_assembly_matches_f64_with_padding(method):
     """4x2 fake mesh, 31x31 nodes padded to 32x32: true region matches the
     f64 oracle; pad rows are identity/zero (harmless to Krylov)."""
     p64, f64v, B64, _ = _oracle(30, 30, "trig")
     mesh = Mesh(np.array(jax.devices()).reshape(4, 2), (GY, GX))
     grid = DistGrid.create(30, 30, mesh)
     planes_df, Bf_df, f_df, g_df, mask = assemble_saddle_dist_df(
-        grid, "trig"
+        grid, "trig", method=method
     )
     pd = df_to_f64(planes_df)
     assert _relerr(pd[..., :31, :31], p64) < 1e-12

@@ -176,3 +176,27 @@ def test_dia_spmv_pallas_2d_exact(rng):
     np.testing.assert_allclose(
         y2, np.asarray(sp.dia_matvec(d, x[:n])), atol=1e-4
     )
+
+
+def test_bdia_spmv_pallas_2d_matches_xla(rng):
+    """2D block-DIA kernel (interpret) vs the XLA b^2-chain lowering and
+    the scipy oracle — incl. a multi-band (9-point, 2x2 block) pattern."""
+    import dataclasses
+
+    n1 = 20
+    ix = sps.identity(n1)
+    t = sps.diags([-1.0, 4.0, -1.0], [-1, 0, 1], (n1, n1))
+    a = (sps.kron(ix, t) + sps.kron(t, ix)).tocsr().astype(np.float32)
+    csr = sp.scipy_to_csr(a)
+    bdia = sp.bsr_to_bdia(sp.csr_to_bsr(csr, block=2))
+    x = rng.standard_normal(a.shape[0]).astype(np.float32)
+    xb = jnp.asarray(np.ascontiguousarray(x.reshape(-1, 2).T))
+    ref = (a @ x).reshape(-1, 2).T
+    y_xla = np.asarray(sp.bdia_matvec_dofmajor(bdia, xb))
+    y_pal = np.asarray(
+        sp.bdia_matvec_dofmajor(
+            dataclasses.replace(bdia, backend="pallas"), xb
+        )
+    )
+    np.testing.assert_allclose(y_xla, ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y_pal, ref, rtol=2e-5, atol=2e-5)
