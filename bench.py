@@ -285,12 +285,12 @@ def bench_refined_kkt_bsr(n_nodes=257, rtol=1e-8):
     K32 = SaddleOperator(A32, Bf_df.hi)
     bsr = sp.csr_to_bsr(sp.scipy_to_csr(a32), block=2)
     bdia = sp.bsr_to_bdia(bsr)
-    if jax.default_backend() == "tpu":
-        # 2D block kernel: 140.7 vs 71.4 Gnnz/s for the XLA chains
-        # (r5 chip capture) — interpret mode would crawl on CPU
-        import dataclasses as _dc
-
-        bdia = _dc.replace(bdia, backend="pallas")
+    # backend note: the 2D block-DIA Pallas kernel measures 140.7 vs
+    # 71.4 Gnnz/s for these XLA chains (aij_tpu_bdia_* keys), but its
+    # different summation order costs this config ~40 extra inner
+    # iterations (2.79 s vs 2.08 s measured end-to-end on the chip), so
+    # the config-3 production inner stays on the XLA lowering; select
+    # the kernel via BDIA(backend="pallas") where the matvec dominates.
     B = jnp.asarray(B32)
     d = sp.csr_extract_diagonal(sp.scipy_to_csr(a32))
     dinv = 1.0 / jnp.where(d == 0, 1.0, d)
@@ -733,7 +733,7 @@ def bench_aij_tpu(n_nodes=512, reps=50):
     return out
 
 
-def bench_spmm(n_nodes=1024, k=8, reps=20, aij_nodes=512):
+def bench_spmm(n_nodes=512, k=8, reps=20, aij_nodes=512):
     """SpMM (operator x k right-hand sides) on the chip — the north-star
     kernel set pairs SpMV with SpMM ("distributed SpMV/SpMM as Pallas
     kernels") but no spmm key was ever captured (VERDICT r4 missing #3).
@@ -743,7 +743,13 @@ def bench_spmm(n_nodes=1024, k=8, reps=20, aij_nodes=512):
     roofline by up to ~k until the VPU bound takes over).  Chain
     protocol as bench_spmv: prescaled operator, pure matmat chain,
     differenced rep counts.  Production consumer: KSP.mat_solve
-    (pseudo-block CG over matmat_field, solvers/ksp.py)."""
+    (pseudo-block CG over matmat_field, solvers/ksp.py).
+
+    n_nodes defaults to 512: the 1024^2 stencil matmat chain WEDGED the
+    tunneled backend on three separate runs (the same operator/sizes
+    run fine as SpMV chains and as solver iterations; the 512^2 SpMM
+    chain completes) — and this section runs LAST in main() so a wedge
+    can only cost spmm keys, never the configs."""
     import numpy as np
     import scipy.sparse as sps
 
@@ -772,37 +778,53 @@ def bench_spmm(n_nodes=1024, k=8, reps=20, aij_nodes=512):
     nnz = ny * nx * 36
     X0 = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(k)])
 
-    def chain(mm, X, label):
+    def chain(mm, op, X, nnz_eff, rcap=50_000):
+        # operands travel as jit ARGUMENTS, never closure constants: a
+        # 151 MB planes array baked into the executable wedged the
+        # tunneled remote-compile path for minutes (r5 lesson — the
+        # bench_spmv chains always passed the operator as an argument)
         @jax.jit
-        def run(X, r):
+        def run(op, X, r):
             return jnp.sum(
-                jax.lax.fori_loop(0, r, lambda i, V: mm(V), X)
+                jax.lax.fori_loop(0, r, lambda i, V: mm(op, V), X)
             )
 
-        _timed(run, X, 1)
+        _timed(run, op, X, 1)
         r = reps
         while True:
-            t1 = min(_timed(run, X, r) for _ in range(2))
-            t2 = min(_timed(run, X, 2 * r) for _ in range(2))
-            if t2 - t1 > 0.02 or r >= 50_000:
+            t1 = min(_timed(run, op, X, r) for _ in range(2))
+            t2 = min(_timed(run, op, X, 2 * r) for _ in range(2))
+            if t2 - t1 > 0.02 or r >= rcap:
                 break
             r *= 8
-        return k * nnz / (max(t2 - t1, 1e-9) / r)
+        return nnz_eff / (max(t2 - t1, 1e-9) / r)
 
-    out["spmm_stencil_nnz_per_s"] = chain(A.matmat_field, X0, "stencil")
+    out["spmm_stencil_nnz_per_s"] = chain(
+        lambda op, V: op.matmat_field(V), A, X0, k * nnz
+    )
     try:
+        # the pallas SpMM kernel keeps one full padded field in VMEM
+        # per pipeline stage (BlockSpec (1, 2, ny+2, nx+2)): at 1024^2
+        # that overflows the 16 MB VMEM (hard-checked in the kernel) —
+        # measure at 512^2 where it fits
         from saddle_point_petsc_tpu.ops.pallas.spmm import (
             stencil_spmm_pallas,
         )
 
         interp = jax.default_backend() != "tpu"
-        out["spmm_stencil_pallas_nnz_per_s"] = chain(
-            lambda V: stencil_spmm_pallas(
-                planes_s, V, bm=32, interpret=interp
-            ),
-            X0,
-            "stencil_pallas",
+        n_p = min(n_nodes, 512)
+        prob_p = poisson.assemble_poisson(
+            n_p - 1, n_p - 1, dtype=jnp.float32
         )
+        planes_p, xp1 = prescale(prob_p.A, prob_p.f)
+        Xp0 = jnp.stack([xp1 * (1.0 + 0.1 * i) for i in range(k)])
+        out["spmm_stencil_pallas_nnz_per_s"] = chain(
+            lambda op, V: stencil_spmm_pallas(
+                op, V, bm=32, interpret=interp
+            ),
+            planes_p, Xp0, k * n_p * n_p * 36,
+        )
+        out["spmm_stencil_pallas_n"] = n_p
     except Exception as e:
         out["spmm_stencil_pallas_error"] = repr(e)[:120]
     # distributed SpMM: one halo exchange ships all k columns' ghosts
@@ -819,7 +841,7 @@ def bench_spmm(n_nodes=1024, k=8, reps=20, aij_nodes=512):
         )
         Xd = jax.device_put(X0)
         out["spmm_dist_nnz_per_s"] = chain(
-            Ad.matmat_field, Xd, "dist"
+            lambda op, V: op.matmat_field(V), Ad, Xd, k * nnz
         )
     except Exception as e:
         out["spmm_dist_error"] = repr(e)[:120]
@@ -841,30 +863,14 @@ def bench_spmm(n_nodes=1024, k=8, reps=20, aij_nodes=512):
             ),
             jnp.float32,
         )
-
-        def chain_a(mm, X):
-            @jax.jit
-            def run(X, r):
-                return jnp.sum(
-                    jax.lax.fori_loop(0, r, lambda i, V: mm(V), X)
-                )
-
-            _timed(run, X, 1)
-            r = reps
-            while True:
-                t1 = min(_timed(run, X, r) for _ in range(2))
-                t2 = min(_timed(run, X, 2 * r) for _ in range(2))
-                if t2 - t1 > 0.02 or r >= 200_000:
-                    break
-                r *= 8
-            return k * nnz_a / (max(t2 - t1, 1e-9) / r)
-
-        out["spmm_dia_nnz_per_s"] = chain_a(
-            lambda V: sp.dia_matmat(dia, V), Xa
+        out["spmm_dia_nnz_per_s"] = chain(
+            lambda op, V: sp.dia_matmat(op, V), dia, Xa,
+            k * nnz_a, rcap=200_000,
         )
         bdia = sp.bsr_to_bdia(sp.csr_to_bsr(csr, block=2))
-        out["spmm_bdia_nnz_per_s"] = chain_a(
-            lambda V: sp.bdia_matmat(bdia, V), Xa
+        out["spmm_bdia_nnz_per_s"] = chain(
+            lambda op, V: sp.bdia_matmat(op, V), bdia, Xa,
+            k * nnz_a, rcap=200_000,
         )
     except Exception as e:
         out["spmm_dia_error"] = repr(e)[:120]
@@ -1142,11 +1148,6 @@ def main():
         out.update(bench_aij_tpu())
     except Exception as e:
         out["aij_tpu_error"] = repr(e)[:160]
-    # SpMM on the chip (VERDICT r4 missing #3)
-    try:
-        out.update(bench_spmm())
-    except Exception as e:
-        out["spmm_error"] = repr(e)[:160]
     # gamg streaming setup + solve at the 1M-row class (VERDICT r4 weak #5)
     try:
         out.update(bench_gamg())
@@ -1231,6 +1232,11 @@ def main():
         )
     except Exception as e:
         out["config5_error"] = repr(e)[:160]
+    # SpMM LAST (VERDICT r4 missing #3) — see bench_spmm docstring
+    try:
+        out.update(bench_spmm())
+    except Exception as e:
+        out["spmm_error"] = repr(e)[:160]
     _emit(out)
 
 

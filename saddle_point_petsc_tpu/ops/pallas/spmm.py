@@ -50,7 +50,20 @@ def stencil_spmm_pallas(planes, XT, bm=128, interpret=False):
     planes: (4, 3, 3, ny, nx); XT: (k, 2, ny, nx).  Returns (k, 2, ny, nx).
     The grid iterates row-blocks in the *inner* dimension so the padded
     field slab for one k stays pipelined while the planes blocks stream.
-    """
+
+    VMEM bound: the per-k field block (1, 2, ny+2, nx+2) is pipelined
+    whole (double-buffered), so the kernel fits VMEM only up to roughly
+    512x512 f32 grids (~2.2 MB x2 per field + the planes block); larger
+    grids must use the XLA SpMM (`planes_matmat_field`) or the vmapped
+    SpMV kernel.  On the tunneled v5e a VMEM-overflow compile at 1024^2
+    WEDGED the backend rather than erroring (r5 note), hence the hard
+    check below."""
+    ny_, nx_ = planes.shape[-2:]
+    if (ny_ + 2) * (nx_ + 2) * 2 * 4 * 2 > 12 * 1024 * 1024:
+        raise ValueError(
+            f"stencil_spmm_pallas: field block at {ny_}x{nx_} exceeds "
+            "VMEM; use planes_matmat_field (XLA) for large grids"
+        )
     ny, nx = planes.shape[-2:]
     k = XT.shape[0]
     if ny % bm:
