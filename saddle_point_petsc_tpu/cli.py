@@ -17,7 +17,7 @@ Flags follow the reference/PETSc names:
   -A_mat_view -f_vec_view -solution_view     object viewers (ref
                                   SaddlePointProblem.c:20,62-63)
   -mat_stencil_backend {xla,pallas}  SpMV kernel for the stencil operator
-  -mat_type {stencil,aij,dia}     poisson operator storage: stencil planes
+  -mat_type {stencil,aij,dia,bdia} poisson operator storage: stencil planes
                                   (default, fastest), general-sparse CSR
                                   (MATAIJ, ref Discretization.c:19 — with
                                   -dist: DistAIJ = MATMPIAIJ over a 1D
@@ -96,7 +96,7 @@ def main(argv=None):
     grid = None
     aij_n = None  # true row count for -mat_type aij (crop pads for VTK)
     with log.phase("Assembly"):
-        if mat_type in ("aij", "dia") and problem_type == "poisson":
+        if mat_type in ("aij", "dia", "bdia") and problem_type == "poisson":
             # MATAIJ route (ref DMSetMatType(MATAIJ), Discretization.c:19):
             # the SAME assembled system through the general-sparse layer
             from saddle_point_petsc_tpu.ops import sparse as _sp
@@ -123,6 +123,19 @@ def main(argv=None):
                 # plumbed through amg_pc level operators before)
                 A = _dc.replace(
                     A, backend=opts.get_str("mat_dia_backend", A.backend)
+                )
+                b = f_flat
+            elif mat_type == "bdia":
+                # MATBAIJ-class route: 2x2 blocks (the dof=2 interleaved
+                # DMDA layout, ref Discretization.c:17) stored by
+                # block-diagonal; -mat_bdia_backend selects the XLA b^2
+                # scalar chains or the 2D Pallas block kernel
+                import dataclasses as _dc
+
+                A = _sp.bsr_to_bdia(_sp.csr_to_bsr(csr, block=2))
+                A = _dc.replace(
+                    A,
+                    backend=opts.get_str("mat_bdia_backend", A.backend),
                 )
                 b = f_flat
             else:

@@ -239,7 +239,9 @@ def test_cli_mat_type_aij_matches_stencil(tmp_path, capsys):
     its_s, vtk_s = run([], "stencil.vtk")
     its_a, vtk_a = run(["-mat_type", "aij"], "aij.vtk")
     its_d, vtk_d = run(["-mat_type", "dia"], "dia.vtk")
+    its_b, vtk_b = run(["-mat_type", "bdia"], "bdia.vtk")
     its_m, vtk_m = run(["-mat_type", "aij", "-dist"], "mpiaij.vtk")
     assert its_a == its_d == its_m  # same matrix, same Krylov
+    assert abs(its_b - its_a) <= 1  # block storage: same system
     assert abs(its_a - its_s) <= 2  # stencil assembly roundoff tolerance
-    assert vtk_a == vtk_d == vtk_m
+    assert vtk_a == vtk_d == vtk_m == vtk_b
