@@ -969,35 +969,40 @@ _PARTIAL = {}  # filled as sections complete; dumped if the deadline fires
 # detail, not the north star); the COMPLETE un-rounded dict is written to
 # benchmarks/BENCH_FULL.json alongside.
 _KEY_ORDER = (
-    "device", "grid", "nnz", "roofline_nnz_per_s",
-    "spmv_xla_nnz_per_s", "spmv_pallas_nnz_per_s", "spmv_ms",
+    # ordered DROP-FIRST -> DROP-LAST: when the compact line exceeds the
+    # driver's 2000-byte stdout window, _emit pops from the FRONT — so
+    # per-format diagnostics sit first and the per-config / core-kernel
+    # keys survive any truncation
+    "device", "grid", "nnz",
+    "aij_tpu_rows", "aij_tpu_csr_nnz_per_s", "aij_tpu_bsr_nnz_per_s",
+    "aij_tpu_ell_nnz_per_s", "aij_tpu_gather_elems_per_s",
+    "aij_tpu_distaij_ell_nnz_per_s", "aij_tpu_distaij_format",
+    "aij_tpu_bdia_nnz_per_s", "aij_tpu_bdia_pallas_nnz_per_s",
+    "spmm_k", "spmm_stencil_pallas_nnz_per_s", "spmm_dia_nnz_per_s",
+    "spmm_bdia_nnz_per_s",
     "kkt_solve_s", "kkt_iterations", "kkt_rel_rnorm",
     "kkt_rtol1e8_minres_s", "kkt_rtol1e8_fgmresmg_s",
     "kkt_rtol1e8_cycles", "kkt_rtol1e8_inner_its",
-    "kkt_rtol1e8_inner_kind", "kkt_rtol1e8_rel_rnorm",
-    "kkt_rtol1e8_dist_rows", "kkt_rtol1e8_dist_cycles",
-    "kkt_rtol1e8_dist_rel_rnorm", "kkt_rtol1e8_dist_s",
-    "aij_tpu_rows", "aij_tpu_gather_elems_per_s",
-    "aij_tpu_ell_nnz_per_s", "aij_tpu_csr_nnz_per_s",
-    "aij_tpu_bsr_nnz_per_s", "aij_tpu_bdia_nnz_per_s",
-    "aij_tpu_bdia_pallas_nnz_per_s",
-    "aij_tpu_dia_nnz_per_s",
-    "aij_tpu_dia_pallas_nnz_per_s", "aij_tpu_distaij_ell_nnz_per_s",
-    "aij_tpu_distaij_format", "aij_tpu_distaij_nnz_per_s",
-    "aij_tpu_best_format", "aij_tpu_nnz_per_s",
-    "spmm_k", "spmm_stencil_nnz_per_s", "spmm_dia_nnz_per_s",
-    "spmm_bdia_nnz_per_s", "spmm_dist_nnz_per_s", "spmm_nnz_per_s",
+    "kkt_rtol1e8_inner_kind",
+    "scaling_devices", "scaling_eff_median", "scaling_eff_min",
+    "scaling_eff_max", "scaling_halo_exchange_ms",
+    "bench_deadline_hit_s",
     "gamg_rows", "gamg_its", "gamg_setup_s", "gamg_solve_s",
     "config2_rtol1e8_s", "config2_rtol1e8_rel_rnorm",
     "config3_seconds", "config3_iterations", "config3_rel_rnorm",
     "config3_rtol1e8_s", "config3_rtol1e8_rel_rnorm",
     "config4_seconds", "config4_iterations", "config4_rel_rnorm",
     "config4_rows",
+    "kkt_rtol1e8_dist_rows", "kkt_rtol1e8_dist_cycles",
+    "kkt_rtol1e8_dist_rel_rnorm", "kkt_rtol1e8_dist_s",
     "config5_rows", "config5_cycles", "config5_rel_rnorm",
     "config5_nnz_per_s", "config5_assemble_s", "config5_s",
-    "scaling_devices", "scaling_eff_median", "scaling_eff_min",
-    "scaling_eff_max", "scaling_halo_exchange_ms",
-    "bench_deadline_hit_s",
+    "roofline_nnz_per_s", "spmv_xla_nnz_per_s",
+    "spmv_pallas_nnz_per_s", "spmv_ms",
+    "aij_tpu_dia_nnz_per_s", "aij_tpu_dia_pallas_nnz_per_s",
+    "aij_tpu_distaij_nnz_per_s", "aij_tpu_best_format",
+    "aij_tpu_nnz_per_s",
+    "spmm_stencil_nnz_per_s", "spmm_dist_nnz_per_s", "spmm_nnz_per_s",
     # headline (the driver's north-star keys) — keep LAST
     "metric", "unit", "value", "vs_baseline", "kkt_rtol1e8_s",
 )
@@ -1044,10 +1049,17 @@ def _emit(out, limit=1900):
 def _install_deadline(seconds):
     """Tunneled-TPU watchdog: if any device fetch wedges (the axon tunnel
     can hang indefinitely), print the sections measured so far as the one
-    JSON line and exit instead of producing nothing."""
-    import signal
+    JSON line and exit instead of producing nothing.
 
-    def fire(signum, frame):
+    Implemented as a daemon THREAD, not SIGALRM: a wedged tunnel blocks
+    the main thread inside a C recv loop that retries on EINTR, so a
+    Python signal handler never gets to run (observed r5: a full bench
+    run sailed straight through its 5200 s alarm).  The timer thread
+    emits the partial line and hard-exits regardless of what the main
+    thread is stuck in."""
+    import threading
+
+    def fire():
         _PARTIAL.setdefault("metric", "spmv_nnz_per_s")
         _PARTIAL.setdefault("value", 0.0)
         _PARTIAL.setdefault("unit", "nnz/s")
@@ -1056,11 +1068,18 @@ def _install_deadline(seconds):
         _emit(_PARTIAL)
         os._exit(0)
 
-    try:
-        signal.signal(signal.SIGALRM, fire)
-        signal.alarm(seconds)
-    except (ValueError, AttributeError):
-        pass
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
+def _progress(name):
+    """Section progress to STDERR (stdout stays one JSON line): lets a
+    wedged run show WHERE it stopped."""
+    import sys
+
+    print(f"[bench {time.strftime('%H:%M:%S')}] {name}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -1081,6 +1100,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "100"))
     out = _PARTIAL  # sections land here as they finish (deadline-safe)
     out["device"] = str(jax.devices()[0])
+    _progress("spmv")
     nnz_per_s, sol, dt, nnz = bench_spmv(n_nodes=n, reps=reps)
     pallas_nnz_per_s, _, dt_pal, _ = bench_spmv(
         n_nodes=n, reps=reps, backend="pallas"
@@ -1101,6 +1121,7 @@ def main():
         nnz=nnz,
         roofline_nnz_per_s=sol,
     )
+    _progress("kkt_solve")
     t_solve, its, rrel = bench_time_to_rtol()
     out.update(
         kkt_solve_s=t_solve, kkt_iterations=its, kkt_rel_rnorm=rrel
@@ -1108,6 +1129,7 @@ def main():
     # time-to-rtol-1e-8 (north-star): BOTH refined inner kinds measured,
     # the better one is the headline (VERDICT r2 weak #1: captured ==
     # claimed, best-of like the SpMV backends)
+    _progress("kkt_rtol1e8")
     kinds = {}
     kn = int(os.environ.get("BENCH_KKT_N", "257"))  # 1025 favors the MG kind
     for kind in ("minres", "fgmres-mg"):
@@ -1132,6 +1154,7 @@ def main():
             kkt_rtol1e8_inner_kind=kind,
         )
     # distributed rtol-1e-8 at config-4 scale (~1M rows)
+    _progress("kkt_dist")
     try:
         t_d, cyc_d, its_d, rrel_d, rows_d = bench_refined_kkt_dist()
         out.update(
@@ -1144,17 +1167,20 @@ def main():
     except Exception as e:
         out["kkt_rtol1e8_dist_error"] = repr(e)[:160]
     # general-sparse formats on the real chip
+    _progress("aij")
     try:
         out.update(bench_aij_tpu())
     except Exception as e:
         out["aij_tpu_error"] = repr(e)[:160]
     # gamg streaming setup + solve at the 1M-row class (VERDICT r4 weak #5)
+    _progress("gamg")
     try:
         out.update(bench_gamg())
     except Exception as e:
         out["gamg_error"] = repr(e)[:160]
     # BASELINE config 4 (distributed KKT, full PC stack) — recorded into
     # the driver JSON (VERDICT r2 weak #4)
+    _progress("config4")
     try:
         import pathlib
         import sys as _sys
@@ -1173,6 +1199,7 @@ def main():
     except Exception as e:
         out["config4_error"] = repr(e)[:160]
     # BASELINE config 3 as worded (FGMRES + inner-CG Schur) on the chip
+    _progress("config3")
     try:
         with contextlib.redirect_stdout(io.StringIO()):
             c3 = run_configs.config3()
@@ -1180,6 +1207,7 @@ def main():
     except Exception as e:
         out["config3_error"] = repr(e)[:160]
     # config 2 as worded + df refinement, on the chip (VERDICT r4 next #7)
+    _progress("config2")
     try:
         t2c, cyc2, its2, rrel2 = bench_refined_kkt_config2()
         out.update(
@@ -1191,6 +1219,7 @@ def main():
     except Exception as e:
         out["config2_error"] = repr(e)[:160]
     # config 3 as worded + df refinement: BSR KKT to a TRUE rtol 1e-8
+    _progress("config3bsr")
     try:
         t3, cyc3, its3, rrel3 = bench_refined_kkt_bsr()
         out.update(
@@ -1201,6 +1230,7 @@ def main():
         )
     except Exception as e:
         out["config3_rtol1e8_error"] = repr(e)[:160]
+    _progress("scaling")
     out.update(bench_scaling_subprocess())
     # BASELINE config 5 scale LAST (the longest section: ~10 min f64
     # host assembly + compile + 40 s solve on the chip) so a deadline
@@ -1211,6 +1241,7 @@ def main():
         # 1M and 10M rows (994k: diag 0.80 s vs mg 1.31; 10.04M: mg
         # 19.4 s vs diag 38.6 — V-cycle fixed costs amortize, iteration
         # counts dominate: 35 total inner its vs 11,204)
+        _progress("config5")
         # assemble="device": the round-5 production path — SPMD df
         # assembly on the chip (seconds) instead of ~10 min of host f64
         c5extra = {}
@@ -1233,6 +1264,7 @@ def main():
     except Exception as e:
         out["config5_error"] = repr(e)[:160]
     # SpMM LAST (VERDICT r4 missing #3) — see bench_spmm docstring
+    _progress("spmm")
     try:
         out.update(bench_spmm())
     except Exception as e:

@@ -181,6 +181,16 @@ def ell_spmv_pallas(cols_t, vals_t, x, interpret=False):
     reordering (dia_spmv_pallas — shift-only) and the stencil form.  The
     kernel is kept as the reference ELL schedule, exact in interpret mode,
     ready for the dynamic_gather generalization when Mosaic lands it.
+
+    MEASURED GATHER CEILING (r5, v5e): a dependent chain of raw XLA
+    `jnp.take` gathers with a random 262k index vector runs 0.146 G
+    elements/s (`aij_tpu_gather_elems_per_s` in the driver JSON), and the
+    XLA ELL SpMV — one gathered x element per stored nnz — measures
+    0.134 Gnnz/s = 92% of that ceiling: for genuinely scattered
+    (non-band-reducible) patterns the FORMAT is the bound on this
+    hardware, not the kernel.  No Pallas schedule can beat the
+    architecture's gather rate; the production answer is reordering into
+    the shift-only formats (~1000x the gather rate).
     """
     k, n = cols_t.shape
     out = pl.pallas_call(
