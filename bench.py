@@ -1265,10 +1265,13 @@ def main():
         out["config5_error"] = repr(e)[:160]
     # SpMM LAST (VERDICT r4 missing #3) — see bench_spmm docstring
     _progress("spmm")
-    try:
-        out.update(bench_spmm())
-    except Exception as e:
-        out["spmm_error"] = repr(e)[:160]
+    for attempt in range(2):  # remote_compile flakes transiently (r5)
+        try:
+            out.update(bench_spmm())
+            out.pop("spmm_error", None)
+            break
+        except Exception as e:
+            out["spmm_error"] = repr(e)[:160]
     _emit(out)
 
 
