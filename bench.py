@@ -776,7 +776,12 @@ def bench_spmm(n_nodes=512, k=8, reps=20, aij_nodes=512):
     A = StencilOperator(planes_s)
     ny, nx = A.grid_shape
     nnz = ny * nx * 36
-    X0 = jnp.stack([x1 * (1.0 + 0.1 * i) for i in range(k)])
+    # one jitted program, not k eager ops: eager stacks of device arrays
+    # are on the suspect list for the tunnel wedges this section hits
+    _mk = jax.jit(
+        lambda x: jnp.stack([x * (1.0 + 0.1 * i) for i in range(k)])
+    )
+    X0 = _mk(x1)
 
     def chain(mm, op, X, nnz_eff, rcap=50_000):
         # operands travel as jit ARGUMENTS, never closure constants: a
@@ -817,7 +822,7 @@ def bench_spmm(n_nodes=512, k=8, reps=20, aij_nodes=512):
             n_p - 1, n_p - 1, dtype=jnp.float32
         )
         planes_p, xp1 = prescale(prob_p.A, prob_p.f)
-        Xp0 = jnp.stack([xp1 * (1.0 + 0.1 * i) for i in range(k)])
+        Xp0 = _mk(xp1)
         out["spmm_stencil_pallas_nnz_per_s"] = chain(
             lambda op, V: stencil_spmm_pallas(
                 op, V, bm=32, interpret=interp
